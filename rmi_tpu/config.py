@@ -1,0 +1,22 @@
+"""Global JAX configuration for rmi_tpu.
+
+The reference implementation does all model math in f64 with FMA
+(rmi_lib/src/models/linear.rs:89) and manipulates raw u64 keys
+(models/mod.rs:77-99).  Representing either requires 64-bit types, so
+x64 mode is enabled at import time, before any arrays are created.
+
+TPU note: f64 on TPU is emulated (float32-pair arithmetic) but every
+hot pass in this framework is HBM-bandwidth-bound (cumulative sums,
+gathers, elementwise chains), not FLOP-bound, so the emulation cost is
+acceptable and buys exact numeric parity with the reference's error
+metrics (two_layer.rs:266-287).
+"""
+
+import os
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Keep compilation deterministic and quiet in CI contexts.
+os.environ.setdefault("JAX_TRACEBACK_FILTERING", "auto")

@@ -1,0 +1,133 @@
+"""Key/type system for rmi_tpu.
+
+Mirrors the reference's ``KeyType`` / ``TrainingKey`` machinery
+(rmi_lib/src/models/mod.rs:40-111) as a vectorized dtype registry:
+
+* ``U32`` / ``U64`` / ``F64`` key types, chosen by file-name suffix
+  exactly as the reference CLI does (src/main.rs:122-132).
+* ``plus_epsilon`` / ``minus_epsilon`` probing used by the lower-bound
+  error inflation (two_layer.rs:229-247): integers move by +/-1 with
+  saturation (models/mod.rs:449-465); floats move by the *absolute*
+  f64 machine epsilon (models/mod.rs:102-104) — deliberately preserving
+  the reference's quirk that large float keys are unchanged by it.
+"""
+
+from __future__ import annotations
+
+import enum
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class KeyType(enum.Enum):
+    U32 = "uint32"
+    U64 = "uint64"
+    F64 = "f64"
+
+    @property
+    def np_dtype(self):
+        return {
+            KeyType.U32: np.uint32,
+            KeyType.U64: np.uint64,
+            KeyType.F64: np.float64,
+        }[self]
+
+    @property
+    def jnp_dtype(self):
+        return {
+            KeyType.U32: jnp.uint32,
+            KeyType.U64: jnp.uint64,
+            KeyType.F64: jnp.float64,
+        }[self]
+
+    @property
+    def c_type(self) -> str:
+        # codegen type names (models/mod.rs:46-53)
+        return {
+            KeyType.U32: "uint32_t",
+            KeyType.U64: "uint64_t",
+            KeyType.F64: "double",
+        }[self]
+
+    @property
+    def is_float(self) -> bool:
+        return self is KeyType.F64
+
+    @property
+    def itemsize(self) -> int:
+        return 4 if self is KeyType.U32 else 8
+
+    @property
+    def max_value(self):
+        """T::max_value() (models/mod.rs:81,93,105)."""
+        if self is KeyType.U32:
+            return np.uint32(0xFFFFFFFF)
+        if self is KeyType.U64:
+            return np.uint64(0xFFFFFFFFFFFFFFFF)
+        return np.float64(sys.float_info.max)
+
+    @property
+    def zero_value(self):
+        """T::zero_value() (models/mod.rs:79,91,103)."""
+        if self is KeyType.F64:
+            return np.float64(0.0)
+        return self.np_dtype(0)
+
+    @classmethod
+    def from_filename(cls, path: str) -> "KeyType":
+        """File-extension -> dtype dispatch (src/main.rs:122-132)."""
+        if "uint64" in path:
+            return cls.U64
+        if "uint32" in path:
+            return cls.U32
+        if "f64" in path:
+            return cls.F64
+        raise ValueError(
+            f"Data file name must contain uint64, uint32, or f64: {path}"
+        )
+
+
+_F64_EPS = np.float64(sys.float_info.epsilon)  # f64::EPSILON = 2^-52
+
+
+def minus_epsilon(keys, key_type: KeyType):
+    """Vectorized TrainingKey::minus_epsilon (models/mod.rs:78,90,102).
+
+    ModelInput::minus_epsilon saturates integers at 0
+    (models/mod.rs:449-454); floats subtract the absolute machine
+    epsilon, which is a no-op for |x| > ~2 (reference quirk, kept).
+    """
+    if key_type.is_float:
+        return keys - _F64_EPS
+    z = jnp.asarray(0, dtype=keys.dtype)
+    return jnp.where(keys > z, keys - jnp.asarray(1, keys.dtype), z)
+
+
+def plus_epsilon(keys, key_type: KeyType):
+    """Vectorized TrainingKey::plus_epsilon (models/mod.rs:80,92,104)."""
+    if key_type.is_float:
+        return keys + _F64_EPS
+    mx = jnp.asarray(key_type.max_value, dtype=keys.dtype)
+    return jnp.where(keys < mx, keys + jnp.asarray(1, keys.dtype), mx)
+
+
+def as_float(keys):
+    """ModelInput::as_float — cast key to f64 (models/mod.rs:421-426).
+
+    Lossy above 2^53 for u64 keys, matching the reference (`*x as f64`).
+    """
+    return keys.astype(jnp.float64)
+
+
+def as_int(keys):
+    """ModelInput::as_int — u64 view of the key (models/mod.rs:428-433).
+
+    Float keys truncate toward zero (`*x as u64` in Rust saturates; for
+    in-range sorted CDF keys the behaviors coincide).
+    """
+    if jnp.issubdtype(keys.dtype, jnp.floating):
+        f = jnp.clip(keys, 0.0, float(np.uint64(0xFFFFFFFFFFFFFFFF)))
+        return f.astype(jnp.uint64)
+    return keys.astype(jnp.uint64)

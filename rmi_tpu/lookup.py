@@ -1,0 +1,166 @@
+"""Batched device serving path: lookup + error-bounded last-mile search.
+
+Replaces the reference's generated C++ ``lookup(key, &err)``
+(codegen.rs:612-718) and the caller-side bounded binary search
+(README.md:63, tests/*/main.cpp) with fused, jit-compiled batch
+kernels:
+
+  guess, err = lookup(rmi, queries)      # top eval -> leaf gather ->
+                                         # leaf eval -> clamp -> err fetch
+  idx = search(rmi, queries)             # + bounded lower_bound over the
+                                         # HBM-resident key array
+
+Serving uses the SAME prediction semantics as training
+(max(0, floor(f)), models/mod.rs:735-737).  The reference's generated
+C code skips the lower clamp for needs_bounds_check=false models
+(codegen.rs:346-373), which is undefined behavior for negative
+predictions; we keep the well-defined Rust-side semantics everywhere.
+
+With cache_fix (--bounded), lookup runs the RMI over the spline knots,
+bounded-searches them, and linearly interpolates quantized to the line
+size (codegen.rs:396-448).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from rmi_tpu import keys as keymod
+from rmi_tpu.keys import KeyType
+from rmi_tpu.models import get_model, predict_clamped
+from rmi_tpu.train.two_layer import predict_top_assignment
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_type", "leaf_type", "B", "n", "key_type"))
+def _rmi_eval(queries, top_params, leaf_params, leaf_errors, *,
+              top_type: str, leaf_type: str, B: int, n: int,
+              key_type: KeyType):
+    """(guess, err, model_index) for a batch of query keys."""
+    mtop = get_model(top_type)
+    mleaf = get_model(leaf_type)
+    xf = keymod.as_float(queries)
+    midx = predict_top_assignment(mtop, top_params, queries, xf, B - 1)
+    pred_f = mleaf.predict(leaf_params, midx, xf)
+    guess = predict_clamped(pred_f, n - 1)  # final clamp, codegen.rs:713-717
+    if leaf_errors is not None:
+        err = leaf_errors[midx].astype(jnp.int64)
+    else:
+        err = jnp.zeros_like(guess)
+    return guess, err, midx
+
+
+def bounded_lower_bound(keys, queries, guess, err, n: int, iters: int):
+    """First index i in [guess-err, guess+err] with keys[i] >= q.
+
+    Branchless fixed-trip binary search — ``iters`` must cover the
+    widest window (ceil(log2(2*max_err+2))).  All lanes search in
+    lockstep; each step is one gather from the HBM key array.
+    """
+    lo = jnp.clip(guess - err, 0, n)
+    hi = jnp.clip(guess + err + 1, 0, n)
+
+    def body(_, state):
+        lo, hi = state
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = keys[jnp.clip(mid, 0, n - 1)]
+        go_right = v < queries
+        new_lo = jnp.where(active & go_right, mid + 1, lo)
+        new_hi = jnp.where(active & ~go_right, mid, hi)
+        return new_lo, new_hi
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "iters"))
+def _bounded_search_jit(keys, queries, guess, err, *, n: int, iters: int):
+    return bounded_lower_bound(keys, queries, guess, err, n, iters)
+
+
+@functools.partial(jax.jit, static_argnames=("line_size", "total_keys"))
+def _cachefix_interp(spline_keys, spline_vals, queries, start, err_s, *,
+                     line_size: int, total_keys: int):
+    """Spline lerp quantized to the cache line (codegen.rs:405-444)."""
+    num_pts = spline_keys.shape[0]
+    iters = max(1, math.ceil(math.log2(num_pts + 1)) + 1)
+    res = bounded_lower_bound(spline_keys, queries, start, err_s,
+                              num_pts, iters)
+    past_end = res >= num_pts
+    r = jnp.clip(res, 1, num_pts - 1)
+    k1 = spline_keys[r - 1].astype(jnp.float64)
+    k2 = spline_keys[r].astype(jnp.float64)
+    v0 = spline_vals[r - 1].astype(jnp.float64)
+    v1 = spline_vals[r].astype(jnp.float64)
+    qf = queries.astype(jnp.float64)
+    t = (qf - k1) / jnp.maximum(k2 - k1, 1.0)
+    pos = ((1.0 - t) * v0 + t * v1).astype(jnp.int64)
+    pos = (pos // line_size) * line_size
+    return jnp.where(past_end, jnp.int64(total_keys - 1), pos)
+
+
+def _err_iters(rmi) -> int:
+    if rmi.leaf_errors is None:
+        return 1
+    max_err = int(jnp.max(rmi.leaf_errors))
+    return max(1, math.ceil(math.log2(2 * max_err + 2)) + 1)
+
+
+def lookup(rmi, queries):
+    """Batched lookup(key, &err): (guess, err) as int64 arrays.
+
+    For cache_fix RMIs, returns the interpolated quantized position and
+    err = line_size (codegen.rs:412-419)."""
+    queries = jnp.asarray(queries)
+    guess, err, _ = _rmi_eval(
+        queries, rmi.top_params, rmi.leaf_params, rmi.leaf_errors,
+        top_type=rmi.top_type, leaf_type=rmi.leaf_type,
+        B=rmi.branching_factor, n=rmi.num_rmi_rows, key_type=rmi.key_type)
+    if rmi.cache_fix is None:
+        return guess, err
+
+    line_size, sk, sv = rmi.cache_fix
+    sk_d = jnp.asarray(sk)
+    sv_d = jnp.asarray(sv)
+    pos = _cachefix_interp(sk_d, sv_d, queries, guess, err,
+                           line_size=line_size,
+                           total_keys=rmi.num_data_rows)
+    return pos, jnp.full_like(pos, line_size)
+
+
+def search(rmi, queries, keys=None):
+    """Exact lower-bound indices via guess +/- err bounded search.
+
+    ``keys`` defaults to the array the RMI was trained on; for
+    cache_fix RMIs pass the ORIGINAL key array."""
+    queries = jnp.asarray(queries)
+    if rmi.cache_fix is not None:
+        if keys is None:
+            raise ValueError("cache_fix search needs the original key array")
+        pos, err = lookup(rmi, queries)
+        n = rmi.num_data_rows
+        iters = max(1, math.ceil(math.log2(2 * rmi.cache_fix[0] + 2)) + 2)
+        return _bounded_search_jit(jnp.asarray(keys), queries, pos,
+                                   err + 1, n=n, iters=iters)
+    if keys is None:
+        keys = rmi.keys
+    guess, err, _ = _rmi_eval(
+        queries, rmi.top_params, rmi.leaf_params, rmi.leaf_errors,
+        top_type=rmi.top_type, leaf_type=rmi.leaf_type,
+        B=rmi.branching_factor, n=rmi.num_rmi_rows, key_type=rmi.key_type)
+    return _bounded_search_jit(jnp.asarray(keys), queries, guess, err,
+                               n=rmi.num_rmi_rows, iters=_err_iters(rmi))
+
+
+def lookup_and_search(rmi, queries, keys=None):
+    """Fused (guess, err, exact_lower_bound) for benchmarking."""
+    g, e = lookup(rmi, queries)
+    idx = search(rmi, queries, keys=keys)
+    return g, e, idx

@@ -1,0 +1,164 @@
+"""Monotone cubic spline model (cubic_spline.rs:18-192).
+
+Fit: Hermite cubic through the container's first/last points scaled to
+the unit square, with endpoint slopes from the nearest distinct points,
+a monotonicity clamp (m1^2 + m2^2 <= 9), closed-form coefficients, and
+a fallback to the linear_spline fit whenever that has lower total L1
+error over the container (cubic_spline.rs:108-136).
+
+Vectorization notes: on the globally sorted key array, "first point
+with scaled x > 0" inside a leaf's contiguous range is just the global
+upper_bound of the range's first key, and symmetrically for the last —
+so the per-leaf nearest-distinct-point searches become two O(B log n)
+searchsorted calls instead of per-leaf scans.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rmi_tpu.models.base import ModelDef, Restriction, register
+from rmi_tpu.models.linear import spline_from_endpoints, _linear_predict
+from rmi_tpu.utils import segments as seg
+
+
+def cubic_predict(params, leaf_idx, keys_f):
+    """Three chained FMAs (cubic_spline.rs:140-150)."""
+    if leaf_idx is None:
+        a, b, c, d = (params[0, 0], params[0, 1], params[0, 2], params[0, 3])
+    else:
+        rows = params[leaf_idx]
+        a, b, c, d = (rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3])
+    v1 = a * keys_f + b
+    v2 = v1 * keys_f + c
+    v3 = v2 * keys_f + d
+    return v3
+
+
+def _coeffs(xmin, ymin, xmax, ymax, m1, m2):
+    """Closed-form a,b,c,d (cubic_spline.rs:74-99)."""
+    span3 = (xmax - xmin) ** 3
+    a = (m1 + m2 - 2.0) / span3
+    b = -(xmax * (2.0 * m1 + m2 - 3.0) + xmin * (m1 + 2.0 * m2 - 3.0)) / span3
+    c = (m1 * xmax ** 2 + m2 * xmin ** 2
+         + xmax * xmin * (2.0 * m1 + 2.0 * m2 - 6.0)) / span3
+    d = -xmin * (m1 * xmax ** 2 + xmax * xmin * (m2 - 3.0) + xmin ** 2) / span3
+    ys = ymax - ymin
+    return a * ys, b * ys, c * ys, d * ys + ymin
+
+
+def _fit_cubic_ranges(xf, yf, spans, keys_f, ep_yf=None):
+    """[B, 4] cubic params over augmented spans.
+
+    ``ep_yf`` overrides the y values used for container ENDPOINTS (the
+    top-model container's get() bypasses FixDups; leaf containers do
+    not) — cubic_spline.rs:38-41 vs models/mod.rs:268-274.
+    """
+    if ep_yf is None:
+        ep_yf = yf
+    first, last = seg.aug_first_last(spans)
+    cnt = seg.aug_count(spans)
+
+    xmin, ymin = xf[first], ep_yf[first]
+    xmax, ymax = xf[last], ep_yf[last]
+    degenerate = xmin == xmax          # all duplicates / single point
+
+    n = spans.n
+    # first element of the range with x > xmin (cubic_spline.rs:46-54):
+    # global upper_bound of xmin, clipped into the range.
+    i1 = jnp.clip(jnp.searchsorted(keys_f, xmin, side="right"), 0, n - 1)
+    # last element with x < xmax (cubic_spline.rs:56-65): global
+    # lower_bound of xmax minus one.
+    i2 = jnp.clip(jnp.searchsorted(keys_f, xmax, side="left") - 1, 0, n - 1)
+
+    safe_span = jnp.where(degenerate, 1.0, xmax - xmin)
+    safe_yspan = jnp.where(ymax == ymin, 1.0, ymax - ymin)
+    sxn = (xf[i1] - xmin) / safe_span
+    syn = (yf[i1] - ymin) / safe_yspan
+    sxp = (xf[i2] - xmin) / safe_span
+    syp = (yf[i2] - ymin) / safe_yspan
+
+    m1 = syn / jnp.where(sxn == 0.0, 1.0, sxn)
+    m2 = (1.0 - syp) / jnp.where(sxp == 1.0, 1.0, 1.0 - sxp)
+
+    # monotonicity clamp (cubic_spline.rs:67-72)
+    norm2 = m1 * m1 + m2 * m2
+    tau = jnp.where(norm2 > 9.0, 3.0 / jnp.sqrt(jnp.maximum(norm2, 1e-300)),
+                    1.0)
+    m1, m2 = m1 * tau, m2 * tau
+
+    a, b, c, d = _coeffs(xmin, ymin, xmax, ymax, m1, m2)
+
+    # special cases (cubic_spline.rs:19-36): empty -> (0,0,1,0);
+    # single point or all duplicates -> constant (0,0,0,y).
+    empty = cnt == 0
+    const_case = (~empty) & ((cnt == 1) | degenerate)
+    a = jnp.where(empty | const_case, 0.0, a)
+    b = jnp.where(empty | const_case, 0.0, b)
+    c = jnp.where(empty, 1.0, jnp.where(const_case, 0.0, c))
+    d = jnp.where(empty, 0.0, jnp.where(const_case, ep_yf[first], d))
+    cubic_params = jnp.stack([a, b, c, d], axis=-1)
+
+    # L1 comparison against linear_spline over the same container
+    # (cubic_spline.rs:113-135); comparison y values are the FixDups
+    # iter values even at the top (iter_model_input).
+    ls_a, ls_b = spline_from_endpoints(xmin, ep_yf[first], xmax, ep_yf[last],
+                                       cnt)
+    lin_params = jnp.stack([ls_a, ls_b], axis=-1)
+
+    c_err = _abs_err_sum(cubic_params, cubic_predict, xf, yf, spans)
+    l_err = _abs_err_sum(lin_params, _linear_predict, xf, yf, spans)
+
+    lin_as_cubic = jnp.stack(
+        [jnp.zeros_like(ls_a), jnp.zeros_like(ls_a), ls_b, ls_a], axis=-1)
+    use_lin = (l_err < c_err) & ~empty
+    return jnp.where(use_lin[:, None], lin_as_cubic, cubic_params)
+
+
+def _abs_err_sum(params, predict, xf, yf, spans):
+    """Per-leaf sum of |pred - y| over augmented spans."""
+    t_idx = None if spans.B == 1 else spans.t
+    d = jnp.abs(predict(params, t_idx, xf) - yf)
+    interior = seg.range_sum(d, spans.starts, spans.ends)
+
+    # edge elements: evaluate leaf j's model at elements starts[j]-1 and
+    # ends[j].
+    leaf_ids = jnp.arange(spans.B)
+    ip = jnp.clip(spans.starts - 1, 0, spans.n - 1)
+    inx = jnp.clip(spans.ends, 0, spans.n - 1)
+    prev_term = jnp.where(
+        spans.has_prev,
+        jnp.abs(predict(params, leaf_ids, xf[ip]) - yf[ip]), 0.0)
+    next_term = jnp.where(
+        spans.has_next,
+        jnp.abs(predict(params, leaf_ids, xf[inx]) - yf[inx]), 0.0)
+    return interior + prev_term + next_term
+
+
+def _cubic_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
+    spans = _top_spans(n)
+    return _fit_cubic_ranges(keys_f, ys_f, spans, keys_f, ep_yf=ep_ys_f)
+
+
+def _top_spans(n):
+    from rmi_tpu.models.linear import _whole_array_spans
+    return _whole_array_spans(n)
+
+
+def _cubic_fit_leaves(xf, yf, spans, keys_f):
+    return _fit_cubic_ranges(xf, yf, spans, keys_f)
+
+
+def _const_cubic(value_f):
+    """set_to_constant_model => (0,0,0,c) (cubic_spline.rs:188-191)."""
+    z = jnp.zeros_like(value_f)
+    return jnp.stack([z, z, z, value_f], axis=-1)
+
+
+register(ModelDef(
+    name="cubic", ppm=4, restriction=Restriction.NONE,
+    needs_bounds_check=False,   # cubic_spline.rs:184-186
+    output_int=False, leaf_capable=True,
+    fit_top=_cubic_fit_top, fit_leaves=_cubic_fit_leaves,
+    predict=cubic_predict, constant_params=_const_cubic,
+    bytes_per_model=32, function_name="cubic"))

@@ -1,0 +1,237 @@
+"""Linear-family models: linear, robust_linear, loglinear, linear_spline.
+
+Behavioral contract from the reference:
+  * simple least squares ``slr`` with 0/1-item and zero-variance special
+    cases (linear.rs:12-59);
+  * robust_linear trims max(1, 0.01% * n) items from each end
+    (linear.rs:238-260);
+  * loglinear regresses on (x, ln y), dropping non-finite logs, and
+    predicts through the ``exp1`` approximation (linear.rs:61-72,
+    156-166);
+  * linear_spline is the line through the container's first and last
+    points with all-duplicate / tiny-container fallbacks
+    (linear_spline.rs:13-35).
+
+The batched fits compute per-leaf two-pass centered moments over the
+augmented spans — numerically equivalent to the reference's Welford
+accumulation but expressed as prefix sums (see utils/segments.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rmi_tpu.models.base import ModelDef, Restriction, register
+from rmi_tpu.utils import segments as seg
+
+
+def exp1(v):
+    """(1 + v/64)^64 — the reference's shared EXP1 approximation
+    (linear.rs:156-166, stdlib.rs:17-33)."""
+    x = 1.0 + v / 64.0
+    x = x * x
+    x = x * x
+    x = x * x
+    x = x * x
+    x = x * x
+    x = x * x
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Batched segmented SLR
+# ---------------------------------------------------------------------------
+
+def _slr_ranges(xf, yf, spans, weights=None, trim=0):
+    """Per-leaf (alpha, beta) least-squares over augmented spans.
+
+    ``weights`` (0/1 per element) drop items (loglinear); ``trim``
+    selects robust_linear's trimmed interior instead of the augmented
+    span.  Returns [B, 2] f64.
+    """
+    if trim:
+        # robust_linear iterates data.iter().skip(bnd).take(len-2*bnd)
+        # over the container (linear.rs:250-252); bnd depends on the
+        # container length (linear.rs:247).
+        total = (spans.aug_ends - spans.aug_starts)
+        bnd = jnp.maximum(
+            jnp.int64(1),
+            (total.astype(jnp.float64) * 1e-4).astype(jnp.int64))
+        lo = spans.aug_starts + bnd
+        hi = jnp.maximum(spans.aug_ends - bnd, lo)
+        # The reference asserts 2*bnd+1 < len and would abort on tiny
+        # containers (linear.rs:248); we fall back to the untrimmed span
+        # there so small leaves still train (documented divergence).
+        ok = (2 * bnd + 1) < total
+        lo = jnp.where(ok, lo, spans.aug_starts)
+        hi = jnp.where(ok, hi, spans.aug_ends)
+        use = seg.Spans(t=spans.t, starts=lo, ends=hi,
+                        aug_starts=lo, aug_ends=hi,
+                        nonempty=lo < hi,
+                        has_prev=jnp.zeros_like(spans.has_prev),
+                        has_next=jnp.zeros_like(spans.has_next),
+                        n=spans.n, B=spans.B)
+    else:
+        use = spans
+
+    if weights is None:
+        cnt = seg.aug_count(use)
+        sx = seg.aug_sum(use, xf)
+        sy = seg.aug_sum(use, yf)
+    else:
+        cnt, sx = seg.aug_masked_stats(use, xf, weights)
+        _, sy = seg.aug_masked_stats(use, yf, weights)
+
+    safe_cnt = jnp.maximum(cnt, 1.0)
+    mean_x = sx / safe_cnt
+    mean_y = sy / safe_cnt
+
+    m2 = seg.aug_centered_dot(use, xf, xf, mean_x, mean_x, weights)
+    c = seg.aug_centered_dot(use, xf, yf, mean_x, mean_y, weights)
+
+    # beta = cov/var; the (n-1) normalizations cancel (linear.rs:46-55).
+    var_zero = m2 <= 0.0
+    beta = jnp.where(var_zero, 0.0, c / jnp.where(var_zero, 1.0, m2))
+    alpha = mean_y - beta * mean_x
+
+    # 0 items -> (0, 0); 1 item -> (mean_y, 0); var==0 -> (mean_y, 0)
+    # (linear.rs:37-53).
+    alpha = jnp.where(cnt == 0, 0.0,
+                      jnp.where((cnt == 1) | var_zero, mean_y, alpha))
+    beta = jnp.where((cnt <= 1) | var_zero, 0.0, beta)
+    return jnp.stack([alpha, beta], axis=-1)
+
+
+def _whole_array_spans(n):
+    """A 1-leaf Spans covering the entire array (top-model fits)."""
+    z = jnp.zeros((1,), dtype=jnp.int64)
+    return seg.Spans(
+        t=jnp.zeros((n,), dtype=jnp.int32),
+        starts=z, ends=jnp.full((1,), n, dtype=jnp.int64),
+        aug_starts=z, aug_ends=jnp.full((1,), n, dtype=jnp.int64),
+        nonempty=jnp.ones((1,), dtype=bool),
+        has_prev=jnp.zeros((1,), dtype=bool),
+        has_next=jnp.zeros((1,), dtype=bool),
+        n=n, B=1)
+
+
+def _linear_predict(params, leaf_idx, keys_f):
+    """fma(beta, x, alpha) (linear.rs:87-90)."""
+    if leaf_idx is None:
+        alpha, beta = params[0, 0], params[0, 1]
+    else:
+        rows = params[leaf_idx]
+        alpha, beta = rows[..., 0], rows[..., 1]
+    return beta * keys_f + alpha
+
+
+def _linear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
+    return _slr_ranges(keys_f, ys_f, _whole_array_spans(n))
+
+
+def _linear_fit_leaves(xf, yf, spans, keys_f):
+    return _slr_ranges(xf, yf, spans)
+
+
+def _robust_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
+    return _slr_ranges(keys_f, ys_f, _whole_array_spans(n), trim=1)
+
+
+def _robust_fit_leaves(xf, yf, spans, keys_f):
+    return _slr_ranges(xf, yf, spans, trim=1)
+
+
+def _const_linear(value_f):
+    """set_to_constant_model => (c, 0) (linear.rs:116-119)."""
+    return jnp.stack([value_f, jnp.zeros_like(value_f)], axis=-1)
+
+
+register(ModelDef(
+    name="linear", ppm=2, restriction=Restriction.NONE,
+    needs_bounds_check=True, output_int=False, leaf_capable=True,
+    fit_top=_linear_fit_top, fit_leaves=_linear_fit_leaves,
+    predict=_linear_predict, constant_params=_const_linear,
+    bytes_per_model=16, function_name="linear"))
+
+register(ModelDef(
+    name="robust_linear", ppm=2, restriction=Restriction.NONE,
+    needs_bounds_check=True, output_int=False, leaf_capable=True,
+    fit_top=_robust_fit_top, fit_leaves=_robust_fit_leaves,
+    predict=_linear_predict, constant_params=_const_linear,
+    bytes_per_model=16, function_name="linear"))
+
+
+# ---------------------------------------------------------------------------
+# loglinear
+# ---------------------------------------------------------------------------
+
+def _log_targets(yf):
+    ln = jnp.log(yf)
+    keep = jnp.isfinite(ln)
+    return jnp.where(keep, ln, 0.0), keep.astype(jnp.float64)
+
+
+def _loglinear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
+    ln, w = _log_targets(ys_f)
+    return _slr_ranges(keys_f, ln, _whole_array_spans(n), weights=w)
+
+
+def _loglinear_fit_leaves(xf, yf, spans, keys_f):
+    ln, w = _log_targets(yf)
+    return _slr_ranges(xf, ln, spans, weights=w)
+
+
+def _loglinear_predict(params, leaf_idx, keys_f):
+    """exp1(fma(beta, x, alpha)) (linear.rs:177-180)."""
+    return exp1(_linear_predict(params, leaf_idx, keys_f))
+
+
+register(ModelDef(
+    name="loglinear", ppm=2, restriction=Restriction.NONE,
+    needs_bounds_check=True, output_int=False, leaf_capable=True,
+    fit_top=_loglinear_fit_top, fit_leaves=_loglinear_fit_leaves,
+    predict=_loglinear_predict, constant_params=None,
+    bytes_per_model=16, function_name="loglinear"))
+
+
+# ---------------------------------------------------------------------------
+# linear_spline
+# ---------------------------------------------------------------------------
+
+def spline_from_endpoints(x0, y0, x1, y1, cnt):
+    """(intercept, slope) through two points with the reference's
+    fallbacks (linear_spline.rs:13-35): len==0 -> (0,0); len==1 ->
+    (y0, 0); all-duplicates (x0==x1) -> (y0, 0)."""
+    degenerate = (x0 == x1)
+    dx = jnp.where(degenerate, 1.0, x0 - x1)
+    slope = jnp.where(degenerate, 0.0, (y0 - y1) / dx)
+    intercept = y0 - slope * x0
+    intercept = jnp.where(cnt == 0, 0.0,
+                          jnp.where((cnt == 1) | degenerate, y0, intercept))
+    slope = jnp.where((cnt <= 1) | degenerate, 0.0, slope)
+    return intercept, slope
+
+
+def _linear_spline_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
+    # Container endpoints use RMITrainingData::get => raw (non-FixDups)
+    # offsets (models/mod.rs:268-274), hence ep_ys_f.
+    x0, y0 = keys_f[0], ep_ys_f[0]
+    x1, y1 = keys_f[n - 1], ep_ys_f[n - 1]
+    a, b = spline_from_endpoints(x0, y0, x1, y1, jnp.float64(n))
+    return jnp.stack([a, b]).reshape(1, 2)
+
+
+def _linear_spline_fit_leaves(xf, yf, spans, keys_f):
+    first, last = seg.aug_first_last(spans)
+    cnt = seg.aug_count(spans)
+    a, b = spline_from_endpoints(xf[first], yf[first], xf[last], yf[last],
+                                 cnt)
+    return jnp.stack([a, b], axis=-1)
+
+
+register(ModelDef(
+    name="linear_spline", ppm=2, restriction=Restriction.NONE,
+    needs_bounds_check=True, output_int=False, leaf_capable=True,
+    fit_top=_linear_spline_fit_top, fit_leaves=_linear_spline_fit_leaves,
+    predict=_linear_predict, constant_params=_const_linear,
+    bytes_per_model=16, function_name="linear"))

@@ -1,0 +1,185 @@
+"""Pareto-front auto-tuner: the --optimize sweep (optimizer.rs:15-249).
+
+Two-phase grid search over (top model, leaf model, branching factor):
+phase 1 probes every model pair at a coarse set of branching factors;
+phase 2 expands the full branching range for model pairs on the phase-1
+Pareto front.  Dominance is on (size, avg_log2_error) with the
+reference's exact tie rules (optimizer.rs:173-187); ``narrow_front``
+keeps ``desired_size`` representatives by repeatedly dropping the less
+accurate of the two closest-in-size configs (optimizer.rs:74-108).
+
+Profiles come from RMI_OPTIMIZER_PROFILE in {fast, memory, disk}
+(optimizer.rs:15-57).
+
+Parallelism note: the reference fans configs across rayon threads
+(optimizer.rs:224).  Here every individual build already saturates the
+chip, so configs run sequentially on one device and data-parallel
+across devices when a mesh is provided (see rmi_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+from typing import List, Optional, Sequence, Tuple
+
+from rmi_tpu.serialize import rmi_size
+
+
+def _profile() -> Optional[str]:
+    p = os.environ.get("RMI_OPTIMIZER_PROFILE")
+    if p is not None and p not in ("fast", "memory", "disk"):
+        raise ValueError(f"Invalid optimizer profile {p}")
+    return p
+
+
+def top_only_layers() -> List[str]:
+    return {
+        None: ["radix", "radix18", "radix22", "robust_linear"],
+        "fast": ["robust_linear"],
+        "memory": ["radix", "radix18", "radix22", "robust_linear"],
+        "disk": ["radix", "radix18", "radix22", "robust_linear",
+                 "normal", "lognormal", "loglinear"],
+    }[_profile()]
+
+
+def anywhere_layers() -> List[str]:
+    return {
+        None: ["linear", "cubic", "linear_spline"],
+        "fast": ["linear", "cubic"],
+        "memory": ["linear", "cubic", "linear_spline"],
+        "disk": ["linear", "cubic", "linear_spline"],
+    }[_profile()]
+
+
+def branching_factors() -> List[int]:
+    rng = {
+        None: range(6, 25, 1),
+        "fast": range(6, 25, 2),
+        "memory": range(6, 25, 1),
+        "disk": range(6, 28, 1),
+    }[_profile()]
+    return [2 ** i for i in rng]
+
+
+@dataclasses.dataclass(frozen=True)
+class RMIStatistics:
+    """One measured configuration (optimizer.rs:153-160)."""
+    models: str
+    branching_factor: int
+    average_log2_error: float
+    max_log2_error: float
+    size: int
+
+    def dominated_by(self, other: "RMIStatistics") -> bool:
+        # optimizer.rs:173-187
+        if self.size < other.size:
+            return False
+        if self.average_log2_error < other.average_log2_error:
+            return False
+        if (self.size == other.size
+                and self.average_log2_error <= other.average_log2_error):
+            return False
+        log2_diff = abs(self.average_log2_error - other.average_log2_error)
+        if self.size <= other.size and log2_diff < sys.float_info.epsilon:
+            return False
+        return True
+
+    def to_grid_spec(self, namespace: str) -> dict:
+        # optimizer.rs:208-217
+        return {
+            "layers": self.models,
+            "branching factor": self.branching_factor,
+            "namespace": namespace,
+            "size": self.size,
+            "average log2 error": self.average_log2_error,
+            "binary": True,
+        }
+
+
+def pareto_front(results: Sequence[RMIStatistics]) -> List[RMIStatistics]:
+    return [r for r in results
+            if not any(r.dominated_by(v) for v in results)]
+
+
+def narrow_front(results: Sequence[RMIStatistics],
+                 desired_size: int) -> List[RMIStatistics]:
+    assert desired_size >= 2
+    if len(results) <= desired_size:
+        return list(results)
+    tmp = sorted(results, key=lambda r: r.size)
+    best = tmp.pop(0)
+    while len(tmp) > desired_size - 1:
+        gaps = [(i, i + 1, tmp[i + 1].size / tmp[i].size)
+                for i in range(len(tmp) - 1)]
+        i1, i2, _ = min(gaps, key=lambda g: g[2])
+        if tmp[i1].average_log2_error > tmp[i2].average_log2_error:
+            tmp.pop(i1)
+        else:
+            tmp.pop(i2)
+    tmp.insert(0, best)
+    return tmp
+
+
+def first_phase_configs() -> List[Tuple[str, int]]:
+    # optimizer.rs:110-125: every 5th branching factor
+    out = []
+    tops = top_only_layers() + anywhere_layers()
+    for top in tops:
+        for bottom in anywhere_layers():
+            for bf in branching_factors()[::5]:
+                out.append((f"{top},{bottom}", bf))
+    return out
+
+
+def second_phase_configs(first_phase: Sequence[RMIStatistics]
+                         ) -> List[Tuple[str, int]]:
+    qualifying = sorted({r.models for r in pareto_front(first_phase)})
+    out = []
+    for models in qualifying:
+        for bf in branching_factors():
+            if any(r.models == models and r.branching_factor == bf
+                   for r in first_phase):
+                continue
+            out.append((models, bf))
+    return out
+
+
+def measure_rmis(data, configs: Sequence[Tuple[str, int]],
+                 progress=None) -> List[RMIStatistics]:
+    from rmi_tpu.train.api import train
+
+    out = []
+    for models, bf in configs:
+        res = train(data, models, bf)
+        out.append(RMIStatistics(
+            models=models, branching_factor=bf,
+            average_log2_error=res.model_avg_log2_error,
+            max_log2_error=res.model_max_log2_error,
+            size=rmi_size(res)))
+        if progress is not None:
+            progress(out[-1])
+    return out
+
+
+def find_pareto_efficient_configs(data, restrict: int = 10,
+                                  progress=None) -> List[RMIStatistics]:
+    """The full two-phase sweep (optimizer.rs:233-249)."""
+    phase1 = measure_rmis(data, first_phase_configs(), progress)
+    phase2 = measure_rmis(data, second_phase_configs(phase1), progress)
+    front = narrow_front(pareto_front(phase2), restrict)
+    front.sort(key=lambda r: r.average_log2_error)
+    return front
+
+
+def display_table(items: Sequence[RMIStatistics]) -> str:
+    """The optimizer's result table (optimizer.rs:193-206)."""
+    lines = [f"{'Models':<28} {'Branch':>10} {'AvgLg2':>12} "
+             f"{'MaxLg2':>12} {'Size (b)':>14}"]
+    for it in items:
+        lines.append(
+            f"{it.models:<28} {it.branching_factor:>10} "
+            f"{it.average_log2_error:>12.5f} {it.max_log2_error:>12.5f} "
+            f"{it.size:>14}")
+    return "\n".join(lines)

@@ -1,0 +1,136 @@
+"""Training facade: train / train_for_size / train_bounded and the
+TrainedRMI result (train/mod.rs:18-184)."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmi_tpu.data import RMIDataset
+from rmi_tpu.keys import KeyType
+from rmi_tpu.models import get_model
+from rmi_tpu.train import two_layer
+
+
+@dataclasses.dataclass
+class TrainedRMI:
+    """Result of a training run (train/mod.rs:18-33).
+
+    ``top_params`` is a dict of device arrays; ``leaf_params`` is a
+    [B, ppm] f64 device array; ``leaf_errors`` the per-leaf inflated
+    max-L1 errors (last_layer_max_l1s) or None under --no-errors.
+    """
+
+    models: str
+    branching_factor: int
+    key_type: KeyType
+    num_rmi_rows: int
+    num_data_rows: int
+    top_params: Dict[str, jax.Array]
+    leaf_params: jax.Array
+    leaf_errors: Optional[jax.Array]
+    model_avg_error: float
+    model_avg_l2_error: float
+    model_avg_log2_error: float
+    model_max_error: int
+    model_max_error_idx: int
+    model_max_log2_error: float
+    build_time: int = 0                       # ns
+    cache_fix: Optional[Tuple[int, np.ndarray, np.ndarray]] = None
+    # device copies of what the RMI serves over (for lookup/search):
+    keys: Optional[jax.Array] = None
+
+    @property
+    def top_type(self) -> str:
+        return self.models.split(",")[0]
+
+    @property
+    def leaf_type(self) -> str:
+        return self.models.split(",")[-1]
+
+
+def _normalize_top_params(top_type: str, params: Any) -> Dict[str, jax.Array]:
+    if isinstance(params, dict):
+        return params
+    # float-family tops return a [1, ppm] array
+    return {"w": params}
+
+
+def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
+    """Train an RMI (train/mod.rs:100-126).  Only 2-layer specs are
+    supported — the reference panics on anything else (train/mod.rs:125,
+    multi_layer is commented out of its module tree)."""
+    start = time.monotonic_ns()
+    layers = model_spec.split(",")
+    if len(layers) != 2:
+        raise ValueError(
+            "rmi_tpu supports exactly two model layers (the reference's "
+            "multi-layer trainer is disabled upstream, train/mod.rs:125)")
+    top_type, leaf_type = layers
+
+    top_params, leaf_params, leaf_errors, metrics = two_layer.train_two_layer(
+        data.keys, data.key_type, data.positions.astype(jnp.int64),
+        top_type, leaf_type, branch_factor)
+
+    # force completion so build_time covers the actual work
+    jax.block_until_ready(leaf_errors)
+    m = {k: np.asarray(v) for k, v in metrics.items()}
+    build_time = time.monotonic_ns() - start
+
+    return TrainedRMI(
+        models=model_spec,
+        branching_factor=int(branch_factor),
+        key_type=data.key_type,
+        num_rmi_rows=data.n,
+        num_data_rows=data.n,
+        top_params=_normalize_top_params(top_type, top_params),
+        leaf_params=leaf_params,
+        leaf_errors=leaf_errors,
+        model_avg_error=float(m["model_avg_error"]),
+        model_avg_l2_error=float(m["model_avg_l2_error"]),
+        model_avg_log2_error=float(m["model_avg_log2_error"]),
+        model_max_error=int(m["model_max_error"]),
+        model_max_error_idx=int(m["model_max_error_idx"]),
+        model_max_log2_error=float(m["model_max_log2_error"]),
+        build_time=build_time,
+        keys=data.keys,
+    )
+
+
+def train_for_size(data: RMIDataset, max_size: int) -> TrainedRMI:
+    """--max-size: Pareto-search then first config under the byte budget
+    (train/mod.rs:128-154)."""
+    from rmi_tpu.optimizer import find_pareto_efficient_configs
+
+    start = time.monotonic_ns()
+    pareto = find_pareto_efficient_configs(data, restrict=1000)
+    chosen = next((c for c in pareto if c.size < max_size), None)
+    if chosen is None:
+        raise RuntimeError(
+            f"Could not find any configurations smaller than {max_size}")
+    res = train(data, chosen.models, chosen.branching_factor)
+    res.build_time = time.monotonic_ns() - start
+    return res
+
+
+def train_bounded(data: RMIDataset, model_spec: str, branch_factor: int,
+                  line_size: int) -> TrainedRMI:
+    """--bounded: cachefix spline -> reindex -> RMI over the knots
+    (train/mod.rs:156-184)."""
+    from rmi_tpu.cache_fix import cache_fix
+
+    start = time.monotonic_ns()
+    data64 = data.as_u64()
+    spline_keys, spline_vals = cache_fix(data64, line_size)
+
+    spline_ds = RMIDataset.from_numpy(spline_keys, KeyType.U64)
+    res = train(spline_ds, model_spec, branch_factor)
+    res.cache_fix = (int(line_size), spline_keys, spline_vals)
+    res.num_data_rows = data.n
+    res.build_time = time.monotonic_ns() - start
+    return res

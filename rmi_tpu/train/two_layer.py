@@ -1,0 +1,206 @@
+"""Two-layer RMI training as a single fused device program.
+
+This is the TPU-native re-design of train_two_layer (two_layer.rs:101-
+306).  The reference makes four sequential streaming passes over the
+sorted array (top fit, leaf partition+fit, lower-bound correction,
+error sweep); here each pass is a batched vector program and the whole
+build is one jit-compiled function:
+
+  1. top-model fit on the scaled CDF (two_layer.rs:109-110);
+  2. leaf assignment t[k] = min(B-1, top(k)) — non-decreasing, so leaf
+     extents are searchsorted spans and every per-leaf fit is a
+     prefix-sum range reduction (see utils/segments.py);
+  3. batched per-leaf fits over overlap-augmented spans
+     (two_layer.rs:52-82 semantics);
+  4. lower-bound correction (lower_bound_correction.rs:83-162) via
+     cumulative min/max fills and run-length analysis;
+  5. empty-leaf constant patching (two_layer.rs:182-202);
+  6. error sweep + epsilon probes + duplicate-run inflation
+     (two_layer.rs:205-259) and the exact error metrics
+     (two_layer.rs:266-287).
+
+Known divergence from the reference (documented, not observable in its
+public behavior): the reference's rayon::join split excludes the single
+key at the split index from leaf *training* (two_layer.rs:147-169); we
+train on every key, equivalent to its split_idx >= len path.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rmi_tpu import keys as keymod
+from rmi_tpu.keys import KeyType
+from rmi_tpu.models import get_model, predict_clamped, clamp_int, validate_spec
+from rmi_tpu.utils import segments as seg
+
+_F64_EPS = sys.float_info.epsilon
+
+
+def _scale_targets(yfix_f, sf):
+    """map_scale! (models/mod.rs:238-250): targets scaled by
+    branching_factor/n and truncated; identity when sf ~= 1."""
+    if abs(sf - 1.0) > _F64_EPS:
+        return jnp.trunc(yfix_f * sf)
+    return yfix_f
+
+
+def predict_top_assignment(mdef, params, keys, xf, bound):
+    """min(bound, predict_to_int(top(key))) -> int64 (two_layer.rs:49)."""
+    if mdef.output_int:
+        return clamp_int(mdef.predict(params, None, keys), bound)
+    return predict_clamped(mdef.predict(params, None, xf), bound)
+
+
+def lower_bound_pieces(spans: seg.Spans, keys, yfix, key_type: KeyType):
+    """Vectorized LowerBoundCorrection (lower_bound_correction.rs).
+
+    Returns (next_idx, next_key, prev_key, longest_run):
+      next_idx[j]/next_key[j] — index/key of the first key of the first
+        non-empty leaf after j, or (n, T::MAX) (rs:30-56);
+      prev_key[j] — last key of the last non-empty leaf before j, or 0
+        (rs:58-80);
+      longest_run[j] — longest duplicate-key run among runs in leaf j,
+        excluding the array's final run, which the reference never
+        flushes (rs:101-125).
+    """
+    n, B = spans.n, spans.B
+    big = jnp.int64(n + 1)
+
+    first_val = jnp.where(spans.nonempty, spans.starts, big)
+    # next[j] = min over j' > j of first_val[j']
+    suffix_min = jax.lax.cummin(first_val[::-1])[::-1]
+    next_start = jnp.concatenate([suffix_min[1:],
+                                  jnp.full((1,), big, jnp.int64)])
+    has_next_leaf = next_start < big
+    next_idx = jnp.where(has_next_leaf, next_start, n)
+    safe = jnp.clip(next_start, 0, max(n - 1, 0))
+    next_key = jnp.where(has_next_leaf, keys[safe],
+                         jnp.asarray(key_type.max_value,
+                                     dtype=keys.dtype))
+
+    last_val = jnp.where(spans.nonempty, spans.ends - 1, jnp.int64(-1))
+    prefix_max = jax.lax.cummax(last_val)
+    prev_last = jnp.concatenate([jnp.full((1,), -1, jnp.int64),
+                                 prefix_max[:-1]])
+    has_prev_leaf = prev_last >= 0
+    prev_key = jnp.where(has_prev_leaf, keys[jnp.clip(prev_last, 0, None)],
+                         jnp.asarray(key_type.zero_value, dtype=keys.dtype))
+
+    # duplicate runs: start/end index of the run containing each key.
+    idx = jnp.arange(n, dtype=jnp.int64)
+    changed = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    run_start = jax.lax.cummax(jnp.where(changed, idx, 0))
+    ends_run = jnp.concatenate([keys[1:] != keys[:-1],
+                                jnp.ones((1,), bool)])
+    run_end = jax.lax.cummin(
+        jnp.where(ends_run, idx, jnp.int64(n - 1))[::-1])[::-1]
+    run_len = run_end - run_start + 1
+    # the final run is never recorded (rs:104-125 has no post-loop flush)
+    counted = jnp.where(run_end < n - 1, run_len, 0)
+    longest_run = seg.segment_max_sorted(counted, spans.t, B, fill=0)
+
+    return next_idx, next_key, prev_key, longest_run
+
+
+def _error_between(pred_i, target_i, n):
+    """error_between (two_layer.rs:14-18): clamp both to n, abs diff."""
+    a = jnp.minimum(pred_i, n)
+    b = jnp.minimum(target_i, n)
+    return jnp.abs(a - b)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_type", "leaf_type", "B", "key_type"))
+def _train_core(keys, yfix, *, top_type: str, leaf_type: str, B: int,
+                key_type: KeyType):
+    n = keys.shape[0]
+    mtop = get_model(top_type)
+    mleaf = get_model(leaf_type)
+
+    xf = keymod.as_float(keys)
+    yfix_f = yfix.astype(jnp.float64)
+    sf = float(B) / float(n)   # two_layer.rs:109
+    ys_scaled = _scale_targets(yfix_f, sf)
+    # RMITrainingData::get bypasses FixDups: raw offsets, scaled.
+    ep_ys = _scale_targets(jnp.arange(n, dtype=jnp.float64), sf)
+
+    top_params = mtop.fit_top(keys_f=xf, ys_f=ys_scaled, ep_ys_f=ep_ys,
+                              n=n, keys=keys, B=B, scale=sf)
+
+    t64 = predict_top_assignment(mtop, top_params, keys, xf, B - 1)
+    t = t64.astype(jnp.int32)
+    spans = seg.make_spans(t, B)
+
+    leaf_params = mleaf.fit_leaves(xf, yfix_f, spans, xf)
+
+    next_idx, next_key, prev_key, longest_run = lower_bound_pieces(
+        spans, keys, yfix, key_type)
+
+    # empty-leaf constant patch (two_layer.rs:182-202) — the reference's
+    # loop covers 0..B-1 EXCLUSIVE, so the final leaf is never patched.
+    if mleaf.constant_params is not None:
+        const_rows = mleaf.constant_params(next_idx.astype(jnp.float64))
+        patch = (~spans.nonempty) & (jnp.arange(B) < B - 1)
+        leaf_params = jnp.where(patch[:, None], const_rows, leaf_params)
+
+    # error sweep (two_layer.rs:205-217)
+    t_idx = None if B == 1 else t
+    pred = predict_clamped(mleaf.predict(leaf_params, t_idx, xf), n)
+    err = _error_between(pred, jnp.minimum(yfix, n), n)
+    max_err = seg.segment_max_sorted(err, t, B, fill=0)
+    cnt = spans.ends - spans.starts
+
+    # epsilon probes (two_layer.rs:226-259)
+    leaf_ids = jnp.arange(B)
+    up_keys = keymod.minus_epsilon(next_key, key_type)
+    pred_up = predict_clamped(
+        mleaf.predict(leaf_params, leaf_ids, keymod.as_float(up_keys)), n)
+    upper_err = _error_between(pred_up, next_idx + 1, n)
+
+    lo_keys = keymod.plus_epsilon(prev_key, key_type)
+    pred_lo = predict_clamped(
+        mleaf.predict(leaf_params, leaf_ids, keymod.as_float(lo_keys)), n)
+    first_idx = next_idx[jnp.maximum(leaf_ids - 1, 0)]
+    lower_err = _error_between(pred_lo, first_idx, n)
+
+    final_err = (jnp.maximum(jnp.maximum(max_err, upper_err), lower_err)
+                 + longest_run)
+
+    # metrics (two_layer.rs:266-287)
+    nf = jnp.float64(n)
+    cnt_f = cnt.astype(jnp.float64)
+    err_f = final_err.astype(jnp.float64)
+    model_max_error = jnp.max(final_err)
+    # Rust max_by_key returns the LAST maximal element.
+    model_max_error_idx = (B - 1) - jnp.argmax(final_err[::-1])
+    model_avg_error = jnp.sum(cnt_f * err_f) / nf
+    model_avg_l2_error = jnp.sum((cnt_f * err_f) ** 2 / nf)
+    model_avg_log2_error = jnp.sum(
+        cnt_f * jnp.log2(2.0 * err_f + 2.0)) / nf
+    model_max_log2_error = jnp.log2(model_max_error.astype(jnp.float64))
+
+    metrics = {
+        "model_max_error": model_max_error.astype(jnp.uint64),
+        "model_max_error_idx": model_max_error_idx,
+        "model_avg_error": model_avg_error,
+        "model_avg_l2_error": model_avg_l2_error,
+        "model_avg_log2_error": model_avg_log2_error,
+        "model_max_log2_error": model_max_log2_error,
+    }
+    return top_params, leaf_params, final_err.astype(jnp.uint64), metrics
+
+
+def train_two_layer(keys, key_type: KeyType, yfix, top_type: str,
+                    leaf_type: str, B: int):
+    """Train a 2-layer RMI; returns device arrays + host metrics dict."""
+    validate_spec([top_type, leaf_type])
+    top_params, leaf_params, leaf_errors, metrics = _train_core(
+        keys, yfix, top_type=top_type, leaf_type=leaf_type, B=int(B),
+        key_type=key_type)
+    return top_params, leaf_params, leaf_errors, metrics

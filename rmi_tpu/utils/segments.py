@@ -1,0 +1,166 @@
+"""Sorted-segment primitives: the TPU-native replacement for the
+reference's streaming leaf loops.
+
+The reference trains leaves by streaming the sorted key array and
+cutting it at top-model prediction boundaries (two_layer.rs:20-99).
+Because the top model is monotonic, leaf ids over the sorted array are
+NON-DECREASING — so every per-leaf reduction over keys becomes a
+*contiguous-range* reduction, computable as a difference of prefix sums
+(one O(n) cumulative sum + O(B) gathers) instead of a scatter.  That is
+the central design decision of this framework: no scatter in the hot
+path, everything is cumsum + searchsorted + gather, which XLA maps onto
+the VPU at HBM bandwidth.
+
+Leaf-overlap semantics (two_layer.rs:52-82): each trained leaf also
+sees the last key of the previous non-empty leaf and the first key of
+the next non-empty leaf.  On the sorted array those are simply the
+elements adjacent to the leaf's span, so the *augmented* training range
+of a non-empty leaf j with span [s_j, e_j) is the contiguous range
+[s_j - (s_j>0), min(e_j+1, n)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+def prefix_sum_exclusive(values: jax.Array) -> jax.Array:
+    """[n] -> [n+1] with out[i] = sum(values[:i]) (f64 accumulate)."""
+    c = jnp.cumsum(values.astype(jnp.float64))
+    return jnp.concatenate([jnp.zeros((1,), dtype=jnp.float64), c])
+
+
+def range_sum(values: jax.Array, starts: jax.Array, ends: jax.Array,
+              _cache: jax.Array | None = None) -> jax.Array:
+    """Sum of values[starts[j]:ends[j]] for each j, via prefix sums."""
+    c = prefix_sum_exclusive(values) if _cache is None else _cache
+    return c[ends] - c[starts]
+
+
+@dataclasses.dataclass
+class Spans:
+    """Per-leaf contiguous ranges over the sorted key array.
+
+    ``t`` is the non-decreasing leaf-id array (clamped top-model
+    predictions, two_layer.rs:49).  ``starts/ends`` bound the original
+    span of each leaf; ``aug_starts/aug_ends`` bound the augmented
+    (overlap-including) span; empty leaves have an empty augmented span.
+    """
+
+    t: jax.Array           # [n] int32 leaf ids, non-decreasing
+    starts: jax.Array      # [B] int64
+    ends: jax.Array        # [B] int64
+    aug_starts: jax.Array  # [B] int64
+    aug_ends: jax.Array    # [B] int64
+    nonempty: jax.Array    # [B] bool
+    has_prev: jax.Array    # [B] bool — aug range includes element starts-1
+    has_next: jax.Array    # [B] bool — aug range includes element ends
+    n: int
+    B: int
+
+
+def make_spans(t: jax.Array, B: int) -> Spans:
+    n = t.shape[0]
+    leaf_ids = jnp.arange(B, dtype=t.dtype)
+    starts = jnp.searchsorted(t, leaf_ids, side="left").astype(jnp.int64)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n, dtype=jnp.int64)])
+    nonempty = starts < ends
+    has_prev = nonempty & (starts > 0)
+    has_next = nonempty & (ends < n)
+    aug_starts = jnp.where(has_prev, starts - 1, starts)
+    aug_ends = jnp.where(has_next, ends + 1, ends)
+    # Empty leaves train on empty data (two_layer.rs:66-69): collapse span.
+    aug_starts = jnp.where(nonempty, aug_starts, 0)
+    aug_ends = jnp.where(nonempty, aug_ends, 0)
+    return Spans(t=t, starts=starts, ends=ends,
+                 aug_starts=aug_starts, aug_ends=aug_ends,
+                 nonempty=nonempty, has_prev=has_prev, has_next=has_next,
+                 n=n, B=B)
+
+
+def aug_count(spans: Spans) -> jax.Array:
+    """Number of points in each augmented range (f64)."""
+    return (spans.aug_ends - spans.aug_starts).astype(jnp.float64)
+
+
+def aug_sum(spans: Spans, values: jax.Array) -> jax.Array:
+    """Per-leaf sum of ``values`` over the augmented range (f64 [B])."""
+    return range_sum(values, spans.aug_starts, spans.aug_ends)
+
+
+def aug_masked_stats(spans: Spans, values: jax.Array, weights: jax.Array):
+    """(count, sum) of weighted values over augmented ranges.
+
+    ``weights`` in {0,1} implement the reference's item-dropping (e.g.
+    loglinear skips non-finite logs, linear.rs:63-67).
+    """
+    cnt = range_sum(weights, spans.aug_starts, spans.aug_ends)
+    s = range_sum(values * weights, spans.aug_starts, spans.aug_ends)
+    return cnt, s
+
+
+def aug_centered_dot(spans: Spans, x: jax.Array, y: jax.Array,
+                     mean_x: jax.Array, mean_y: jax.Array,
+                     weights: jax.Array | None = None) -> jax.Array:
+    """Per-leaf sum of (x - mean_x[j])*(y - mean_y[j]) over augmented
+    ranges, where the means are PER-LEAF values.
+
+    The interior of each augmented range belongs to the leaf itself, so
+    a per-element gather of the element's own leaf mean plus one prefix
+    sum covers [starts, ends); the (at most two) overlap elements are
+    corrected with direct O(B) gathers.  This two-pass centering is the
+    vectorized equivalent of the reference's single-pass Welford update
+    (linear.rs:12-59) and is what preserves f64 accuracy when keys are
+    ~2^63: uncentered sums of x^2 would lose ~45 bits to cancellation.
+    """
+    if spans.B == 1:
+        # top-model fit: avoid materializing an n-element gather
+        mt_x, mt_y = mean_x[0], mean_y[0]
+    else:
+        mt_x = mean_x[spans.t]
+        mt_y = mean_y[spans.t]
+    d = (x - mt_x) * (y - mt_y)
+    if weights is not None:
+        d = d * weights
+    interior = range_sum(d, spans.starts, spans.ends)
+
+    def edge_term(idx, present):
+        i = jnp.clip(idx, 0, spans.n - 1)
+        term = (x[i] - mean_x) * (y[i] - mean_y)
+        if weights is not None:
+            term = term * weights[i]
+        return jnp.where(present, term, 0.0)
+
+    prev_term = edge_term(spans.starts - 1, spans.has_prev)
+    next_term = edge_term(spans.ends, spans.has_next)
+    return interior + prev_term + next_term
+
+
+def aug_first_last(spans: Spans):
+    """Indices of the first/last element of each augmented range.
+
+    Arbitrary (clipped) for empty leaves — fits special-case those.
+    """
+    first = jnp.clip(spans.aug_starts, 0, max(spans.n - 1, 0))
+    last = jnp.clip(spans.aug_ends - 1, 0, max(spans.n - 1, 0))
+    return first, last
+
+
+def segment_max_sorted(values: jax.Array, t: jax.Array, B: int,
+                       fill=0, nonempty: jax.Array | None = None) -> jax.Array:
+    """Per-leaf max over the ORIGINAL (non-augmented) spans.
+
+    Uses scatter-max; leaf ids are sorted which XLA exploits.  Empty
+    leaves get ``fill`` (the reference initializes per-leaf error to 0,
+    two_layer.rs:207).
+    """
+    out = jax.ops.segment_max(values, t, num_segments=B,
+                              indices_are_sorted=True)
+    if nonempty is None:
+        nonempty = jax.ops.segment_sum(
+            jnp.ones_like(t, dtype=jnp.int32), t,
+            num_segments=B, indices_are_sorted=True) > 0
+    return jnp.where(nonempty, out, jnp.asarray(fill, dtype=values.dtype))

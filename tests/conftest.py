@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+sharding paths are exercised without TPU hardware; bench.py separately
+targets the real chip.
+
+The container's sitecustomize registers the tunneled TPU ("axon") and
+force-sets jax_platforms="axon,cpu" at interpreter start, so the env
+var alone is not enough — the config must be re-overridden after jax
+import, before any backend is touched.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
