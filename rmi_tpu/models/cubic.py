@@ -24,6 +24,8 @@ from rmi_tpu.utils import segments as seg
 
 def cubic_predict(params, leaf_idx, keys_f):
     """Three chained FMAs (cubic_spline.rs:140-150)."""
+    if isinstance(params, dict):
+        params = params["w"]
     if leaf_idx is None:
         a, b, c, d = (params[0, 0], params[0, 1], params[0, 2], params[0, 3])
     else:

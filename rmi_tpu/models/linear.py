@@ -117,6 +117,8 @@ def _whole_array_spans(n):
 
 def _linear_predict(params, leaf_idx, keys_f):
     """fma(beta, x, alpha) (linear.rs:87-90)."""
+    if isinstance(params, dict):
+        params = params["w"]
     if leaf_idx is None:
         alpha, beta = params[0, 0], params[0, 1]
     else:

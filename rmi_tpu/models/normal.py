@@ -47,6 +47,8 @@ def _ncdf_ranges(xf, yf, spans):
 
 
 def _normal_predict(params, leaf_idx, keys_f):
+    if isinstance(params, dict):
+        params = params["w"]
     if leaf_idx is None:
         mean, stdev, scale = params[0, 0], params[0, 1], params[0, 2]
     else:
@@ -85,6 +87,8 @@ def _lognormal_fit_leaves(xf, yf, spans, keys_f):
 
 
 def _lognormal_predict(params, leaf_idx, keys_f):
+    if isinstance(params, dict):
+        params = params["w"]
     if leaf_idx is None:
         mean, stdev, scale = params[0, 0], params[0, 1], params[0, 2]
     else:

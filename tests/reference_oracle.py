@@ -190,6 +190,8 @@ def lognormal_fit(pairs):
 def predict_to_int(f: float) -> int:
     if math.isnan(f):
         return 0
+    if math.isinf(f):
+        return 0 if f < 0 else (1 << 64) - 1  # Rust `as u64` saturates
     return int(max(0.0, math.floor(f)))
 
 

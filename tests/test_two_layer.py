@@ -1,0 +1,191 @@
+"""End-to-end two-layer training parity tests.
+
+Checks the vectorized device pipeline against the sequential oracle
+(reference_oracle.py) for leaf parameters, final per-leaf errors and
+all error metrics, across model combinations and adversarial datasets
+(duplicate-heavy, clustered, tiny leaves) — then verifies the
+north-star property from the reference's integration drivers
+(tests/simple_model_wiki/main.cpp:26-41): for EVERY key,
+|guess - lower_bound(key)| <= err.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rmi_tpu.data import RMIDataset
+from rmi_tpu.keys import KeyType
+from rmi_tpu.train.api import train
+from rmi_tpu.lookup import lookup, search
+
+import reference_oracle as oracle
+
+
+def make_data(kind, n, rng, dtype=np.uint64):
+    if kind == "uniform":
+        keys = np.sort(rng.integers(0, 2**40, size=n, dtype=np.uint64))
+    elif kind == "dups":
+        base = np.sort(rng.integers(0, n // 4 + 2, size=n, dtype=np.uint64))
+        keys = base * 7 + 3
+    elif kind == "clustered":
+        centers = rng.integers(0, 2**50, size=8, dtype=np.uint64)
+        keys = np.sort(np.concatenate([
+            c + rng.integers(0, 1000, size=n // 8, dtype=np.uint64)
+            for c in centers]))
+    elif kind == "tiny_range":
+        keys = np.sort(rng.integers(0, 50, size=n, dtype=np.uint64))
+    else:
+        raise ValueError(kind)
+    return np.sort(keys.astype(dtype))
+
+
+CONFIGS = [
+    ("linear", "linear", 16),
+    ("linear", "linear", 100),
+    ("cubic", "linear", 32),
+    ("linear_spline", "linear_spline", 8),
+    ("robust_linear", "linear", 16),
+    ("loglinear", "linear", 16),
+    ("normal", "linear", 16),
+    ("lognormal", "linear", 16),
+    ("radix", "linear", 16),
+    ("histogram", "linear", 16),
+    ("cubic", "cubic", 16),
+    ("linear", "loglinear", 8),
+    ("linear", "normal", 8),
+    ("linear", "lognormal", 8),
+    ("linear", "robust_linear", 16),
+]
+
+
+@pytest.mark.parametrize("top,leaf,B", CONFIGS)
+@pytest.mark.parametrize("kind", ["uniform", "dups"])
+def test_parity_with_oracle(top, leaf, B, kind, rng):
+    n = 800
+    keys = make_data(kind, n, rng)
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, f"{top},{leaf}", B)
+
+    o_params, o_final, o_metrics = oracle.oracle_two_layer(
+        keys.tolist(), top, leaf, B)
+
+    # Per-leaf errors: the device pipeline uses two-pass centered
+    # moments where the reference streams Welford updates; both are
+    # exact to ~1 ulp but round differently, and a floor() landing on
+    # an exact integer boundary can flip a prediction by 1.  Errors
+    # must therefore agree within 1, exactly for nearly all leaves.
+    got_err = np.asarray(res.leaf_errors).astype(np.int64)
+    want_err = np.asarray(o_final, dtype=np.int64)
+    diff = np.abs(got_err - want_err)
+    assert diff.max() <= 1, (np.nonzero(diff)[0], got_err[diff > 0],
+                             want_err[diff > 0])
+    assert (diff > 0).sum() <= max(1, B // 20)
+
+    got_params = np.asarray(res.leaf_params)
+    want_params = np.asarray(o_params, dtype=np.float64)
+    np.testing.assert_allclose(got_params, want_params, rtol=1e-8,
+                               atol=1e-10)
+
+    assert abs(res.model_max_error
+               - o_metrics["model_max_error"]) <= 1
+    if (got_err == want_err).all():
+        assert res.model_max_error_idx == o_metrics["model_max_error_idx"]
+        np.testing.assert_allclose(
+            res.model_avg_error, o_metrics["model_avg_error"], rtol=1e-12)
+        np.testing.assert_allclose(
+            res.model_avg_log2_error, o_metrics["model_avg_log2_error"],
+            rtol=1e-12)
+        np.testing.assert_allclose(
+            res.model_avg_l2_error, o_metrics["model_avg_l2_error"],
+            rtol=1e-12)
+    else:
+        np.testing.assert_allclose(
+            res.model_avg_error, o_metrics["model_avg_error"], rtol=5e-2)
+        np.testing.assert_allclose(
+            res.model_avg_log2_error, o_metrics["model_avg_log2_error"],
+            rtol=5e-2)
+
+
+@pytest.mark.parametrize("top,leaf,B", [
+    ("linear", "linear", 64),
+    ("cubic", "linear", 128),
+    ("radix", "linear", 64),
+    ("bradix", "linear", 64),
+    ("histogram", "linear", 64),
+    ("radix18", "linear", 64),
+    ("linear_spline", "cubic", 64),
+    ("loglinear", "linear", 32),
+    ("normal", "linear_spline", 32),
+])
+@pytest.mark.parametrize("kind", ["uniform", "dups", "clustered",
+                                  "tiny_range"])
+def test_error_bound_contract(top, leaf, B, kind, rng):
+    """North-star property (tests/simple_model_wiki/main.cpp:26-41):
+    for every key, |guess - lower_bound| <= err, and search() finds the
+    exact lower bound."""
+    n = 3000
+    keys = make_data(kind, n, rng)
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, f"{top},{leaf}", B)
+
+    guess, err = lookup(res, ds.keys)
+    true_lb = np.searchsorted(keys, keys, side="left")
+    g = np.asarray(guess, dtype=np.int64)
+    e = np.asarray(err, dtype=np.int64)
+    viol = np.abs(g - true_lb) > e
+    assert not viol.any(), (
+        f"bound violated for {viol.sum()} keys, first at "
+        f"{np.argmax(viol)}: guess={g[np.argmax(viol)]} "
+        f"lb={true_lb[np.argmax(viol)]} err={e[np.argmax(viol)]}")
+
+    idx = np.asarray(search(res, ds.keys))
+    np.testing.assert_array_equal(idx, true_lb)
+
+
+def test_u32_keys(rng):
+    keys = np.sort(rng.integers(0, 2**31, size=1000).astype(np.uint32))
+    ds = RMIDataset.from_numpy(keys)
+    assert ds.key_type is KeyType.U32
+    res = train(ds, "linear,linear", 32)
+    guess, err = lookup(res, ds.keys)
+    true_lb = np.searchsorted(keys, keys, side="left")
+    assert (np.abs(np.asarray(guess) - true_lb) <= np.asarray(err)).all()
+
+
+def test_f64_keys(rng):
+    keys = np.sort(rng.uniform(0.0, 1e12, size=1000).astype(np.float64))
+    ds = RMIDataset.from_numpy(keys)
+    assert ds.key_type is KeyType.F64
+    res = train(ds, "linear,linear", 32)
+    guess, err = lookup(res, ds.keys)
+    true_lb = np.searchsorted(keys, keys, side="left")
+    assert (np.abs(np.asarray(guess) - true_lb) <= np.asarray(err)).all()
+
+
+def test_nonkey_queries(rng):
+    """Lower-bound searches for keys NOT in the array must also land
+    within the reported bound (the point of the LB correction)."""
+    keys = np.sort(rng.integers(10, 2**40, size=2000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "cubic,linear", 64)
+    queries = rng.integers(0, 2**40 + 1000, size=5000, dtype=np.uint64)
+    idx = np.asarray(search(res, jnp.asarray(queries)))
+    true_lb = np.searchsorted(keys, queries, side="left")
+    np.testing.assert_array_equal(idx, true_lb)
+
+
+def test_three_layers_rejected():
+    keys = np.arange(100, dtype=np.uint64)
+    ds = RMIDataset.from_numpy(keys)
+    with pytest.raises(ValueError):
+        train(ds, "linear,linear,linear", 10)
+
+
+def test_restrictions_enforced():
+    keys = np.arange(100, dtype=np.uint64)
+    ds = RMIDataset.from_numpy(keys)
+    with pytest.raises(ValueError):
+        train(ds, "linear,radix", 10)   # radix MustBeTop
+    with pytest.raises(NotImplementedError):
+        train(ds, "linear,radix18", 10)  # table leaves unsupported
