@@ -1,0 +1,93 @@
+"""cache_fix (--bounded) tests: spline invariant (cache_fix.rs:96-103),
+absolute-bound contract (tests/cache_fix_wiki/main.cpp:36), duplicate
+handling, pre-knot insertion (cache_fix.rs:118-128)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rmi_tpu.cache_fix import _cache_fix_py, cache_fix
+from rmi_tpu.data import RMIDataset
+from rmi_tpu.train.api import train_bounded
+from rmi_tpu.lookup import lookup, search
+
+
+def spline_invariant(keys, offsets, sk, sv, line):
+    """Every (key, offset) must predict into its own cache line when
+    interpolated on the spline."""
+    for k, off in zip(keys.tolist(), offsets.tolist()):
+        i = np.searchsorted(sk, k)
+        if i >= len(sk):
+            continue
+        if sk[i] == k and (i + 1 == len(sk) or True):
+            # exact knot: find segment [i-1, i] or [i, i+1]
+            pass
+        lo = max(i - 1, 0) if sk[i] != k or i == 0 else i - 1
+        hi = lo + 1
+        if hi >= len(sk):
+            lo, hi = len(sk) - 2, len(sk) - 1
+        if sk[hi] == sk[lo]:
+            continue
+        t = (k - float(sk[lo])) / (float(sk[hi]) - float(sk[lo]))
+        pred = int((1.0 - t) * float(sv[lo]) + t * float(sv[hi]))
+        assert pred // line == off // line, (k, off, pred)
+
+
+def test_invariant_random(rng):
+    keys = np.unique(rng.integers(10, 2**30, size=3000, dtype=np.uint64))
+    offs = np.arange(keys.shape[0], dtype=np.uint64)
+    sk, sv = _cache_fix_py(keys, offs, 8)
+    assert (np.diff(sk.astype(np.float64)) >= 0).all()
+    spline_invariant(keys, offs, sk, sv, 8)
+
+
+def test_preknot_insertion():
+    keys = np.asarray([10, 20, 30, 40], dtype=np.uint64)
+    offs = np.arange(4, dtype=np.uint64)
+    sk, sv = _cache_fix_py(keys, offs, 2)
+    # each key except consecutive ones gets a key-1 candidate first
+    assert sk[0] == 9  # first candidate is key-1 (10-1 != last_key 0)
+
+
+def test_requires_more_items_than_line():
+    ds = RMIDataset.from_numpy(np.arange(4, dtype=np.uint64))
+    with pytest.raises(ValueError):
+        cache_fix(ds, 8)
+
+
+@pytest.mark.parametrize("line", [4, 8, 64])
+def test_bounded_end_to_end(rng, line):
+    keys = np.sort(rng.integers(10, 2**45, size=5000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train_bounded(ds, "linear_spline,linear", 128, line)
+    assert res.cache_fix is not None
+    assert res.num_data_rows == 5000
+
+    pos, err = lookup(res, ds.keys)
+    lb = np.searchsorted(keys, keys)
+    p = np.asarray(pos, dtype=np.int64)
+    assert (np.asarray(err) == line).all()
+    assert (np.abs(p - lb) <= line).all()
+
+    idx = np.asarray(search(res, ds.keys, keys=ds.keys))
+    np.testing.assert_array_equal(idx, lb)
+
+
+def test_bounded_with_duplicates(rng):
+    base = np.sort(rng.integers(2, 500, size=3000, dtype=np.uint64))
+    keys = base * 13 + 7
+    ds = RMIDataset.from_numpy(keys)
+    res = train_bounded(ds, "linear,linear", 32, 8)
+    pos, err = lookup(res, ds.keys)
+    lb = np.searchsorted(keys, keys)
+    assert (np.abs(np.asarray(pos, dtype=np.int64) - lb) <= 8).all()
+
+
+def test_bounded_u32_promotes(rng):
+    keys = np.sort(rng.integers(10, 2**30, size=2000).astype(np.uint32))
+    ds = RMIDataset.from_numpy(keys)
+    res = train_bounded(ds, "linear,linear", 32, 8)
+    pos, err = lookup(res, jnp.asarray(keys.astype(np.uint64)))
+    lb = np.searchsorted(keys, keys)
+    assert (np.abs(np.asarray(pos, dtype=np.int64) - lb) <= 8).all()
