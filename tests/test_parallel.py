@@ -1,0 +1,83 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: the data-parallel
+trainer must reproduce the single-chip build, and sharded serving must
+return identical lookups."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rmi_tpu.data import RMIDataset
+from rmi_tpu.keys import KeyType
+from rmi_tpu.train.api import train
+from rmi_tpu.parallel.dp_trainer import dp_train_two_layer
+from rmi_tpu.lookup import lookup
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.array(jax.devices())
+    assert devs.size >= 8, "conftest must provide 8 virtual devices"
+    return Mesh(devs[:8], ("data",))
+
+
+@pytest.mark.parametrize("top,leaf,B", [
+    ("linear", "linear", 64),
+    ("cubic", "linear", 64),
+    ("linear_spline", "linear_spline", 32),
+    ("robust_linear", "linear", 32),
+    ("cubic", "cubic", 32),
+])
+@pytest.mark.parametrize("kind", ["uniform", "dups"])
+def test_dp_matches_single_chip(mesh, rng, top, leaf, B, kind):
+    n = 4096
+    if kind == "uniform":
+        keys = np.sort(rng.integers(0, 2**40, size=n, dtype=np.uint64))
+    else:
+        keys = np.sort(rng.integers(0, n // 3, size=n,
+                                    dtype=np.uint64)) * 11 + 5
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, f"{top},{leaf}", B)
+
+    top_p, leaf_p, errs, metrics = dp_train_two_layer(
+        ds.keys, ds.key_type, top, leaf, B, mesh)
+
+    # psum order can differ from the single-stream cumsum by ~1 ulp;
+    # integer error arrays must agree within 1 (same tolerance as the
+    # oracle-parity tests).
+    e1 = np.asarray(res.leaf_errors).astype(np.int64)
+    e2 = np.asarray(errs).astype(np.int64)
+    assert np.abs(e1 - e2).max() <= 1
+    assert (e1 != e2).sum() <= max(1, B // 20)
+
+    p1 = np.asarray(res.leaf_params)
+    p2 = np.asarray(leaf_p)
+    np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-8)
+
+    np.testing.assert_allclose(
+        float(metrics["model_avg_log2_error"]),
+        res.model_avg_log2_error, rtol=1e-6)
+
+
+def test_dp_requires_divisible(mesh):
+    keys = jnp.arange(1001, dtype=jnp.uint64)
+    with pytest.raises(ValueError):
+        dp_train_two_layer(keys, KeyType.U64, "linear", "linear", 16, mesh)
+
+
+def test_sharded_serving(mesh, rng):
+    """Queries sharded over the mesh, parameters replicated: lookups
+    must equal the single-device path."""
+    keys = np.sort(rng.integers(0, 2**40, size=4096, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "cubic,linear", 64)
+
+    q = rng.integers(0, 2**40, size=4096, dtype=np.uint64)
+    g0, e0 = lookup(res, jnp.asarray(q))
+
+    qs = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+    g1, e1 = lookup(res, qs)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
