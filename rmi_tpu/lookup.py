@@ -10,11 +10,12 @@ kernels:
   idx = search(rmi, queries)             # + bounded lower_bound over the
                                          # HBM-resident key array
 
-Serving uses the SAME prediction semantics as training
-(max(0, floor(f)), models/mod.rs:735-737).  The reference's generated
-C code skips the lower clamp for needs_bounds_check=false models
-(codegen.rs:346-373), which is undefined behavior for negative
-predictions; we keep the well-defined Rust-side semantics everywhere.
+Serving evaluates in the normalized key domain with the SAME prediction
+semantics as training (max(0, floor(f)), models/mod.rs:735-737).  The
+reference's generated C code skips the lower clamp for
+needs_bounds_check=false models (codegen.rs:346-373), which is
+undefined behavior for negative predictions; we keep the well-defined
+Rust-side semantics everywhere.
 
 With cache_fix (--bounded), lookup runs the RMI over the spline knots,
 bounded-searches them, and linearly interpolates quantized to the line
@@ -32,21 +33,24 @@ import jax.numpy as jnp
 from rmi_tpu import keys as keymod
 from rmi_tpu.keys import KeyType
 from rmi_tpu.models import get_model, predict_clamped
-from rmi_tpu.train.two_layer import predict_top_assignment
+from rmi_tpu.train.two_layer import predict_top_assignment, model_float_input
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("top_type", "leaf_type", "B", "n", "key_type"))
-def _rmi_eval(queries, top_params, leaf_params, leaf_errors, *,
+def _rmi_eval(queries, top_params, leaf_params, leaf_errors, off, s, *,
               top_type: str, leaf_type: str, B: int, n: int,
               key_type: KeyType):
     """(guess, err, model_index) for a batch of query keys."""
     mtop = get_model(top_type)
     mleaf = get_model(leaf_type)
-    xf = keymod.as_float(queries)
-    midx = predict_top_assignment(mtop, top_params, queries, xf, B - 1)
-    pred_f = mleaf.predict(leaf_params, midx, xf)
+    xraw = keymod.as_float(queries)
+    xn = (xraw - off) * s
+    midx = predict_top_assignment(mtop, top_params, queries, xn, xraw,
+                                  B - 1)
+    leaf_in = model_float_input(mleaf, xn, xraw)
+    pred_f = mleaf.predict(leaf_params, midx, leaf_in)
     guess = predict_clamped(pred_f, n - 1)  # final clamp, codegen.rs:713-717
     if leaf_errors is not None:
         err = leaf_errors[midx].astype(jnp.int64)
@@ -113,16 +117,22 @@ def _err_iters(rmi) -> int:
     return max(1, math.ceil(math.log2(2 * max_err + 2)) + 1)
 
 
+def _eval(rmi, queries):
+    return _rmi_eval(
+        queries, rmi.device_top_params, rmi.device_leaf_params,
+        rmi.leaf_errors, jnp.float64(rmi.norm_offset),
+        jnp.float64(rmi.norm_scale),
+        top_type=rmi.top_type, leaf_type=rmi.leaf_type,
+        B=rmi.branching_factor, n=rmi.num_rmi_rows, key_type=rmi.key_type)
+
+
 def lookup(rmi, queries):
     """Batched lookup(key, &err): (guess, err) as int64 arrays.
 
     For cache_fix RMIs, returns the interpolated quantized position and
     err = line_size (codegen.rs:412-419)."""
     queries = jnp.asarray(queries)
-    guess, err, _ = _rmi_eval(
-        queries, rmi.top_params, rmi.leaf_params, rmi.leaf_errors,
-        top_type=rmi.top_type, leaf_type=rmi.leaf_type,
-        B=rmi.branching_factor, n=rmi.num_rmi_rows, key_type=rmi.key_type)
+    guess, err, _ = _eval(rmi, queries)
     if rmi.cache_fix is None:
         return guess, err
 
@@ -151,10 +161,7 @@ def search(rmi, queries, keys=None):
                                    err + 1, n=n, iters=iters)
     if keys is None:
         keys = rmi.keys
-    guess, err, _ = _rmi_eval(
-        queries, rmi.top_params, rmi.leaf_params, rmi.leaf_errors,
-        top_type=rmi.top_type, leaf_type=rmi.leaf_type,
-        B=rmi.branching_factor, n=rmi.num_rmi_rows, key_type=rmi.key_type)
+    guess, err, _ = _eval(rmi, queries)
     return _bounded_search_jit(jnp.asarray(keys), queries, guess, err,
                                n=rmi.num_rmi_rows, iters=_err_iters(rmi))
 

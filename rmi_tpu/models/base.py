@@ -80,6 +80,11 @@ class ModelDef:
     constant_params: Optional[Callable]
     bytes_per_model: Optional[int]  # None => data-dependent (arrays)
     function_name: str            # codegen function name (e.g. "linear")
+    # key domain the float fit/predict expects: 'affine' models run in
+    # the normalized x' = (x-kmin)*s domain (see rmi_tpu.convert);
+    # 'raw' models (lognormal: log is not affine-covariant) take raw
+    # key floats.  Int-output models always take raw keys.
+    input_domain: str = "affine"
 
 
 REGISTRY: Dict[str, ModelDef] = {}

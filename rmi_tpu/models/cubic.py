@@ -6,6 +6,12 @@ a monotonicity clamp (m1^2 + m2^2 <= 9), closed-form coefficients, and
 a fallback to the linear_spline fit whenever that has lower total L1
 error over the container (cubic_spline.rs:108-136).
 
+Domain note: fitting and device prediction run in the NORMALIZED key
+domain (see rmi_tpu.convert) — the unit-square slopes m1/m2 are
+affine-invariant, so they equal the reference's raw-domain values, and
+the raw (a,b,c,d) the artifact needs are recomputed on the host from
+the exported generator statistics (aux) with the reference's formulas.
+
 Vectorization notes: on the globally sorted key array, "first point
 with scaled x > 0" inside a leaf's contiguous range is just the global
 upper_bound of the range's first key, and symmetrically for the last —
@@ -17,6 +23,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from rmi_tpu.convert import (CUBIC_CASE_CUBIC, CUBIC_CASE_LINEAR,
+                             CUBIC_CASE_CONST, CUBIC_CASE_EMPTY)
 from rmi_tpu.models.base import ModelDef, Restriction, register
 from rmi_tpu.models.linear import spline_from_endpoints, _linear_predict
 from rmi_tpu.utils import segments as seg
@@ -49,8 +57,9 @@ def _coeffs(xmin, ymin, xmax, ymax, m1, m2):
     return a * ys, b * ys, c * ys, d * ys + ymin
 
 
-def _fit_cubic_ranges(xf, yf, spans, keys_f, ep_yf=None):
-    """[B, 4] cubic params over augmented spans.
+def _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw, ep_yf=None):
+    """Cubic fit over augmented spans -> dict with normalized-domain
+    params 'w' [B,4] plus generator aux for raw-coefficient recovery.
 
     ``ep_yf`` overrides the y values used for container ENDPOINTS (the
     top-model container's get() bypasses FixDups; leaf containers do
@@ -114,7 +123,20 @@ def _fit_cubic_ranges(xf, yf, spans, keys_f, ep_yf=None):
     lin_as_cubic = jnp.stack(
         [jnp.zeros_like(ls_a), jnp.zeros_like(ls_a), ls_b, ls_a], axis=-1)
     use_lin = (l_err < c_err) & ~empty
-    return jnp.where(use_lin[:, None], lin_as_cubic, cubic_params)
+    w = jnp.where(use_lin[:, None], lin_as_cubic, cubic_params)
+
+    case = jnp.full(cnt.shape, CUBIC_CASE_CUBIC, dtype=jnp.int32)
+    case = jnp.where(use_lin, CUBIC_CASE_LINEAR, case)
+    case = jnp.where(const_case, CUBIC_CASE_CONST, case)
+    case = jnp.where(empty, CUBIC_CASE_EMPTY, case)
+
+    xr = xf if xf_raw is None else xf_raw
+    aux = {
+        "xmin": xr[first], "xmax": xr[last],
+        "ymin": ep_yf[first], "ymax": ep_yf[last],
+        "m1": m1, "m2": m2, "case": case,
+    }
+    return {"w": w, "aux": aux}
 
 
 def _abs_err_sum(params, predict, xf, yf, spans):
@@ -137,9 +159,10 @@ def _abs_err_sum(params, predict, xf, yf, spans):
     return interior + prev_term + next_term
 
 
-def _cubic_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
+def _cubic_fit_top(keys_f, ys_f, ep_ys_f, n, xf_raw=None, **_):
     spans = _top_spans(n)
-    return _fit_cubic_ranges(keys_f, ys_f, spans, keys_f, ep_yf=ep_ys_f)
+    return _fit_cubic_ranges(keys_f, ys_f, spans, keys_f, xf_raw,
+                             ep_yf=ep_ys_f)
 
 
 def _top_spans(n):
@@ -147,8 +170,8 @@ def _top_spans(n):
     return _whole_array_spans(n)
 
 
-def _cubic_fit_leaves(xf, yf, spans, keys_f):
-    return _fit_cubic_ranges(xf, yf, spans, keys_f)
+def _cubic_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
+    return _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw)
 
 
 def _const_cubic(value_f):

@@ -131,7 +131,7 @@ def _linear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     return _slr_ranges(keys_f, ys_f, _whole_array_spans(n))
 
 
-def _linear_fit_leaves(xf, yf, spans, keys_f):
+def _linear_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
     return _slr_ranges(xf, yf, spans)
 
 
@@ -139,7 +139,7 @@ def _robust_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     return _slr_ranges(keys_f, ys_f, _whole_array_spans(n), trim=1)
 
 
-def _robust_fit_leaves(xf, yf, spans, keys_f):
+def _robust_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
     return _slr_ranges(xf, yf, spans, trim=1)
 
 
@@ -178,7 +178,7 @@ def _loglinear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     return _slr_ranges(keys_f, ln, _whole_array_spans(n), weights=w)
 
 
-def _loglinear_fit_leaves(xf, yf, spans, keys_f):
+def _loglinear_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
     ln, w = _log_targets(yf)
     return _slr_ranges(xf, ln, spans, weights=w)
 
@@ -223,7 +223,7 @@ def _linear_spline_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     return jnp.stack([a, b]).reshape(1, 2)
 
 
-def _linear_spline_fit_leaves(xf, yf, spans, keys_f):
+def _linear_spline_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
     first, last = seg.aug_first_last(spans)
     cnt = seg.aug_count(spans)
     a, b = spline_from_endpoints(xf[first], yf[first], xf[last], yf[last],

@@ -61,7 +61,7 @@ def _normal_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     return _ncdf_ranges(keys_f, ys_f, _whole_array_spans(n))
 
 
-def _normal_fit_leaves(xf, yf, spans, keys_f):
+def _normal_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
     return _ncdf_ranges(xf, yf, spans)
 
 
@@ -82,7 +82,7 @@ def _lognormal_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     return _ncdf_ranges(_ln_or_zero(keys_f), ys_f, _whole_array_spans(n))
 
 
-def _lognormal_fit_leaves(xf, yf, spans, keys_f):
+def _lognormal_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
     return _ncdf_ranges(_ln_or_zero(xf), yf, spans)
 
 
@@ -105,4 +105,4 @@ register(ModelDef(
     needs_bounds_check=True, output_int=False, leaf_capable=True,
     fit_top=_lognormal_fit_top, fit_leaves=_lognormal_fit_leaves,
     predict=_lognormal_predict, constant_params=None,
-    bytes_per_model=24, function_name="lncdf"))
+    bytes_per_model=24, function_name="lncdf", input_domain="raw"))

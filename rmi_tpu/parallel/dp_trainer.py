@@ -287,7 +287,7 @@ def _dist_fit_cubic_top(xf, yf, ep0, ep1, n):
     return jnp.where((le < ce)[:, None], lin_as_cubic, cubic_p)
 
 
-def _dist_fit_leaves(leaf_type, xf, yf, t_local, spans, keys_local, n, B):
+def _dist_fit_leaves(leaf_type, xf, yf, t_local, spans, xf_sorted, n, B):
     """Distributed per-leaf fits over augmented global spans."""
     starts, ends, aug_a, aug_b, nonempty, has_prev, has_next = spans
 
@@ -340,10 +340,10 @@ def _dist_fit_leaves(leaf_type, xf, yf, t_local, spans, keys_local, n, B):
         xmax = global_value_at(xf, last)
         ymax = global_value_at(yf, last)
         degenerate = xmin == xmax
-        i1 = jnp.clip(global_searchsorted(keys_local.astype(jnp.float64),
-                                          xmin, "right"), 0, n - 1)
-        i2 = jnp.clip(global_searchsorted(keys_local.astype(jnp.float64),
-                                          xmax, "left") - 1, 0, n - 1)
+        i1 = jnp.clip(global_searchsorted(xf_sorted, xmin, "right"),
+                      0, n - 1)
+        i2 = jnp.clip(global_searchsorted(xf_sorted, xmax, "left") - 1,
+                      0, n - 1)
         x_i1 = global_value_at(xf, i1)
         y_i1 = global_value_at(yf, i1)
         x_i2 = global_value_at(xf, i2)
@@ -405,10 +405,14 @@ def _predict_clamped_f(pred_f, bound):
     return p.astype(jnp.int64)
 
 
-def _dp_core(keys_local, *, top_type, leaf_type, B, n, key_type):
+def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
+             key_type):
     m = keys_local.shape[0]
     off = _offset(m)
-    xf = keymod.as_float(keys_local)
+    # normalized key domain (see rmi_tpu.convert): accuracy + emulated-
+    # f64 range safety
+    xraw = keymod.as_float(keys_local)
+    xf = (xraw - kminf) * snorm
 
     yfix_local, changed = dist_fixdups(keys_local)
     yf = yfix_local.astype(jnp.float64)
@@ -451,7 +455,7 @@ def _dp_core(keys_local, *, top_type, leaf_type, B, n, key_type):
     spans = (starts, ends, aug_a, aug_b, nonempty, has_prev, has_next)
 
     leaf_params = _dist_fit_leaves(leaf_type, xf, yf, t_local, spans,
-                                   keys_local, n, B)
+                                   xf, n, B)
 
     # --- lower-bound pieces
     big = jnp.int64(n + 1)
@@ -512,12 +516,12 @@ def _dp_core(keys_local, *, top_type, leaf_type, B, n, key_type):
     # --- probes
     lids = jnp.arange(B)
     up_keys = keymod.minus_epsilon(next_key, key_type)
-    pred_up = _predict_clamped_f(
-        predict(leaf_params, lids, keymod.as_float(up_keys)), n)
+    up_in = (keymod.as_float(up_keys) - kminf) * snorm
+    pred_up = _predict_clamped_f(predict(leaf_params, lids, up_in), n)
     upper_err = jnp.abs(pred_up - jnp.minimum(next_idx + 1, n))
     lo_keys = keymod.plus_epsilon(prev_key, key_type)
-    pred_lo = _predict_clamped_f(
-        predict(leaf_params, lids, keymod.as_float(lo_keys)), n)
+    lo_in = (keymod.as_float(lo_keys) - kminf) * snorm
+    pred_lo = _predict_clamped_f(predict(leaf_params, lids, lo_in), n)
     first_idx = next_idx[jnp.maximum(lids - 1, 0)]
     lower_err = jnp.abs(pred_lo - jnp.minimum(first_idx, n))
 
@@ -556,17 +560,21 @@ def dp_train_two_layer(keys, key_type: KeyType, top_type: str,
     if n % ndev != 0:
         raise ValueError(f"n={n} must divide the mesh size {ndev}")
 
+    from rmi_tpu.train.two_layer import norm_constants
+    kminf, snorm = norm_constants(keys, key_type)
+
     core = functools.partial(_dp_core, top_type=top_type,
                              leaf_type=leaf_type, B=int(B), n=n,
                              key_type=key_type)
     rep = P()
     mapped = shard_map(
         core, mesh,
-        in_specs=(P(AXIS),),
+        in_specs=(P(AXIS), rep, rep),
         out_specs=(rep, rep, rep, {k: rep for k in (
             "model_max_error", "model_max_error_idx", "model_avg_error",
             "model_avg_l2_error", "model_avg_log2_error",
             "model_max_log2_error")}))
     sharded_keys = jax.device_put(
         keys, jax.sharding.NamedSharding(mesh, P(AXIS)))
-    return jax.jit(mapped)(sharded_keys)
+    return jax.jit(mapped)(sharded_keys, jnp.float64(kminf),
+                           jnp.float64(snorm))

@@ -159,6 +159,8 @@ def save_artifact(rmi, namespace: str, data_dir: str = "rmi_data",
     meta = {
         "namespace": namespace,
         "models": rmi.models,
+        "norm_offset": rmi.norm_offset,
+        "norm_scale": rmi.norm_scale,
         "branching_factor": rmi.branching_factor,
         "key_type": rmi.key_type.value,
         "num_rmi_rows": rmi.num_rmi_rows,
@@ -258,6 +260,15 @@ def load_artifact(meta_path: str):
         cache_fix = (cf["line_size"], rec[:, 0].copy(), rec[:, 1].copy())
 
     m = meta["metrics"]
+    from rmi_tpu import convert as _convert
+    kmin = meta.get("norm_offset", 0.0)
+    s_ = meta.get("norm_scale", 1.0)
+    raw_leaf_np = np.asarray(leaf_params)
+    dev_leaf = {"w": jnp.asarray(_convert.device_leaf_params(
+        leaf_type, raw_leaf_np, kmin, s_))}
+    dev_top = {k: jnp.asarray(v) for k, v in _convert.device_top_params(
+        top_type, {k: np.asarray(v) for k, v in tp.items()},
+        kmin, s_).items()}
     return TrainedRMI(
         models=meta["models"], branching_factor=B, key_type=key_type,
         num_rmi_rows=meta["num_rmi_rows"],
@@ -269,6 +280,8 @@ def load_artifact(meta_path: str):
         model_max_error=m["model_max_error"],
         model_max_error_idx=m["model_max_error_idx"],
         model_max_log2_error=m["model_max_log2_error"],
+        device_top_params=dev_top, device_leaf_params=dev_leaf,
+        norm_offset=kmin, norm_scale=s_,
         build_time=meta["build_time_ns"], cache_fix=cache_fix)
 
 

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rmi_tpu import convert
 from rmi_tpu.data import RMIDataset
 from rmi_tpu.keys import KeyType
 from rmi_tpu.models import get_model
@@ -21,9 +22,14 @@ from rmi_tpu.train import two_layer
 class TrainedRMI:
     """Result of a training run (train/mod.rs:18-33).
 
-    ``top_params`` is a dict of device arrays; ``leaf_params`` is a
-    [B, ppm] f64 device array; ``leaf_errors`` the per-leaf inflated
-    max-L1 errors (last_layer_max_l1s) or None under --no-errors.
+    Two parameter views are kept:
+      * ``top_params`` / ``leaf_params`` — RAW key-domain parameters in
+        the reference's layout (what the artifact, generated C++ and
+        native runtime consume);
+      * ``device_top_params`` / ``device_leaf_params`` — normalized
+        key-domain device arrays used by the JAX serving path, with
+        ``norm_offset`` / ``norm_scale`` defining
+        x' = (x - offset) * scale.
     """
 
     models: str
@@ -31,8 +37,8 @@ class TrainedRMI:
     key_type: KeyType
     num_rmi_rows: int
     num_data_rows: int
-    top_params: Dict[str, jax.Array]
-    leaf_params: jax.Array
+    top_params: Dict[str, Any]
+    leaf_params: Any                          # [B, ppm] raw f64
     leaf_errors: Optional[jax.Array]
     model_avg_error: float
     model_avg_l2_error: float
@@ -40,9 +46,13 @@ class TrainedRMI:
     model_max_error: int
     model_max_error_idx: int
     model_max_log2_error: float
+    device_top_params: Optional[Dict[str, jax.Array]] = None
+    device_leaf_params: Optional[Dict[str, jax.Array]] = None
+    norm_offset: float = 0.0
+    norm_scale: float = 1.0
     build_time: int = 0                       # ns
     cache_fix: Optional[Tuple[int, np.ndarray, np.ndarray]] = None
-    # device copies of what the RMI serves over (for lookup/search):
+    # device copy of what the RMI serves over (for lookup/search):
     keys: Optional[jax.Array] = None
 
     @property
@@ -52,13 +62,6 @@ class TrainedRMI:
     @property
     def leaf_type(self) -> str:
         return self.models.split(",")[-1]
-
-
-def _normalize_top_params(top_type: str, params: Any) -> Dict[str, jax.Array]:
-    if isinstance(params, dict):
-        return params
-    # float-family tops return a [1, ppm] array
-    return {"w": params}
 
 
 def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
@@ -73,7 +76,8 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
             "multi-layer trainer is disabled upstream, train/mod.rs:125)")
     top_type, leaf_type = layers
 
-    top_params, leaf_params, leaf_errors, metrics = two_layer.train_two_layer(
+    (top_params, leaf_params, patch, next_idx, leaf_errors, metrics,
+     kminf, s) = two_layer.train_two_layer(
         data.keys, data.key_type, data.positions.astype(jnp.int64),
         top_type, leaf_type, branch_factor)
 
@@ -82,14 +86,30 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
     m = {k: np.asarray(v) for k, v in metrics.items()}
     build_time = time.monotonic_ns() - start
 
+    # raw-domain parameters for the artifact (host, true f64)
+    leaf_aux = {k: np.asarray(v)
+                for k, v in leaf_params.get("aux", {}).items()} \
+        if isinstance(leaf_params, dict) and "aux" in leaf_params else None
+    raw_leaf = convert.raw_leaf_params(
+        leaf_type, leaf_params["w"], leaf_aux,
+        np.asarray(patch), np.asarray(next_idx).astype(np.float64),
+        kminf, s)
+    top_aux = {k: np.asarray(v)
+               for k, v in top_params.get("aux", {}).items()} \
+        if "aux" in top_params else None
+    raw_top = convert.raw_top_params(
+        top_type,
+        {k: v for k, v in top_params.items() if k != "aux"},
+        top_aux, kminf, s)
+
     return TrainedRMI(
         models=model_spec,
         branching_factor=int(branch_factor),
         key_type=data.key_type,
         num_rmi_rows=data.n,
         num_data_rows=data.n,
-        top_params=_normalize_top_params(top_type, top_params),
-        leaf_params=leaf_params,
+        top_params=raw_top,
+        leaf_params=raw_leaf,
         leaf_errors=leaf_errors,
         model_avg_error=float(m["model_avg_error"]),
         model_avg_l2_error=float(m["model_avg_l2_error"]),
@@ -97,6 +117,11 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
         model_max_error=int(m["model_max_error"]),
         model_max_error_idx=int(m["model_max_error_idx"]),
         model_max_log2_error=float(m["model_max_log2_error"]),
+        device_top_params={k: v for k, v in top_params.items()
+                           if k != "aux"},
+        device_leaf_params={"w": leaf_params["w"]},
+        norm_offset=kminf,
+        norm_scale=s,
         build_time=build_time,
         keys=data.keys,
     )

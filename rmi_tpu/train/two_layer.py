@@ -19,10 +19,20 @@ build is one jit-compiled function:
      (two_layer.rs:205-259) and the exact error metrics
      (two_layer.rs:266-287).
 
-Known divergence from the reference (documented, not observable in its
-public behavior): the reference's rayon::join split excludes the single
+Float-key models fit and predict in the NORMALIZED key domain
+x' = (x - key_min) * (1 / key_span): per-leaf moments then never form
+2^63-scale products, which both tightens f64 accuracy and keeps every
+intermediate inside the exponent range of TPU-emulated f64 (f32-pair
+arithmetic).  Raw-domain artifact parameters are recovered exactly on
+the host (rmi_tpu.convert).
+
+Known divergences from the reference (documented, not observable in
+its public behavior): (a) the rayon::join split excludes the single
 key at the split index from leaf *training* (two_layer.rs:147-169); we
-train on every key, equivalent to its split_idx >= len path.
+train on every key, equivalent to its split_idx >= len path; (b) f64
+summation order differs (two-pass centered moments vs streaming
+Welford), moving individual leaf errors by at most 1 when a floor()
+lands on an exact boundary.
 """
 
 from __future__ import annotations
@@ -50,10 +60,17 @@ def _scale_targets(yfix_f, sf):
     return yfix_f
 
 
-def predict_top_assignment(mdef, params, keys, xf, bound):
+def model_float_input(mdef, xn, xraw):
+    """The float input a model's fit/predict expects (see
+    ModelDef.input_domain)."""
+    return xraw if mdef.input_domain == "raw" else xn
+
+
+def predict_top_assignment(mdef, params, keys, xn, xraw, bound):
     """min(bound, predict_to_int(top(key))) -> int64 (two_layer.rs:49)."""
     if mdef.output_int:
         return clamp_int(mdef.predict(params, None, keys), bound)
+    xf = model_float_input(mdef, xn, xraw)
     return predict_clamped(mdef.predict(params, None, xf), bound)
 
 
@@ -103,7 +120,8 @@ def lower_bound_pieces(spans: seg.Spans, keys, yfix, key_type: KeyType):
     run_len = run_end - run_start + 1
     # the final run is never recorded (rs:104-125 has no post-loop flush)
     counted = jnp.where(run_end < n - 1, run_len, 0)
-    longest_run = seg.segment_max_sorted(counted, spans.t, B, fill=0)
+    longest_run = seg.segment_max_sorted(counted, spans.t, B, fill=0,
+                                         nonempty=spans.nonempty)
 
     return next_idx, next_key, prev_key, longest_run
 
@@ -115,29 +133,38 @@ def _error_between(pred_i, target_i, n):
     return jnp.abs(a - b)
 
 
+def _as_dict(params):
+    return params if isinstance(params, dict) else {"w": params}
+
+
 @functools.partial(jax.jit,
                    static_argnames=("top_type", "leaf_type", "B", "key_type"))
-def _train_core(keys, yfix, *, top_type: str, leaf_type: str, B: int,
-                key_type: KeyType):
+def _train_core(keys, yfix, kminf, s, *, top_type: str, leaf_type: str,
+                B: int, key_type: KeyType):
     n = keys.shape[0]
     mtop = get_model(top_type)
     mleaf = get_model(leaf_type)
 
-    xf = keymod.as_float(keys)
+    xraw = keymod.as_float(keys)
+    xn = (xraw - kminf) * s
     yfix_f = yfix.astype(jnp.float64)
     sf = float(B) / float(n)   # two_layer.rs:109
     ys_scaled = _scale_targets(yfix_f, sf)
     # RMITrainingData::get bypasses FixDups: raw offsets, scaled.
     ep_ys = _scale_targets(jnp.arange(n, dtype=jnp.float64), sf)
 
-    top_params = mtop.fit_top(keys_f=xf, ys_f=ys_scaled, ep_ys_f=ep_ys,
-                              n=n, keys=keys, B=B, scale=sf)
+    top_in = model_float_input(mtop, xn, xraw)
+    top_params = _as_dict(mtop.fit_top(
+        keys_f=top_in, ys_f=ys_scaled, ep_ys_f=ep_ys, n=n, keys=keys,
+        B=B, scale=sf, xf_raw=xraw))
 
-    t64 = predict_top_assignment(mtop, top_params, keys, xf, B - 1)
+    t64 = predict_top_assignment(mtop, top_params, keys, xn, xraw, B - 1)
     t = t64.astype(jnp.int32)
     spans = seg.make_spans(t, B)
 
-    leaf_params = mleaf.fit_leaves(xf, yfix_f, spans, xf)
+    leaf_in = model_float_input(mleaf, xn, xraw)
+    leaf_params = _as_dict(mleaf.fit_leaves(leaf_in, yfix_f, spans,
+                                            leaf_in, xf_raw=xraw))
 
     next_idx, next_key, prev_key, longest_run = lower_bound_pieces(
         spans, keys, yfix, key_type)
@@ -147,25 +174,36 @@ def _train_core(keys, yfix, *, top_type: str, leaf_type: str, B: int,
     if mleaf.constant_params is not None:
         const_rows = mleaf.constant_params(next_idx.astype(jnp.float64))
         patch = (~spans.nonempty) & (jnp.arange(B) < B - 1)
-        leaf_params = jnp.where(patch[:, None], const_rows, leaf_params)
+        leaf_params = dict(leaf_params)
+        leaf_params["w"] = jnp.where(patch[:, None], const_rows,
+                                     leaf_params["w"])
+    else:
+        patch = jnp.zeros((B,), dtype=bool)
 
     # error sweep (two_layer.rs:205-217)
     t_idx = None if B == 1 else t
-    pred = predict_clamped(mleaf.predict(leaf_params, t_idx, xf), n)
+    pred = predict_clamped(mleaf.predict(leaf_params, t_idx, leaf_in), n)
     err = _error_between(pred, jnp.minimum(yfix, n), n)
-    max_err = seg.segment_max_sorted(err, t, B, fill=0)
+    max_err = seg.segment_max_sorted(err, t, B, fill=0,
+                                     nonempty=spans.nonempty)
     cnt = spans.ends - spans.starts
 
     # epsilon probes (two_layer.rs:226-259)
+    def probe_input(probe_keys):
+        pf = keymod.as_float(probe_keys)
+        if mleaf.input_domain == "raw":
+            return pf
+        return (pf - kminf) * s
+
     leaf_ids = jnp.arange(B)
     up_keys = keymod.minus_epsilon(next_key, key_type)
     pred_up = predict_clamped(
-        mleaf.predict(leaf_params, leaf_ids, keymod.as_float(up_keys)), n)
+        mleaf.predict(leaf_params, leaf_ids, probe_input(up_keys)), n)
     upper_err = _error_between(pred_up, next_idx + 1, n)
 
     lo_keys = keymod.plus_epsilon(prev_key, key_type)
     pred_lo = predict_clamped(
-        mleaf.predict(leaf_params, leaf_ids, keymod.as_float(lo_keys)), n)
+        mleaf.predict(leaf_params, leaf_ids, probe_input(lo_keys)), n)
     first_idx = next_idx[jnp.maximum(leaf_ids - 1, 0)]
     lower_err = _error_between(pred_lo, first_idx, n)
 
@@ -193,14 +231,29 @@ def _train_core(keys, yfix, *, top_type: str, leaf_type: str, B: int,
         "model_avg_log2_error": model_avg_log2_error,
         "model_max_log2_error": model_max_log2_error,
     }
-    return top_params, leaf_params, final_err.astype(jnp.uint64), metrics
+    return (top_params, leaf_params, patch, next_idx,
+            final_err.astype(jnp.uint64), metrics)
+
+
+def norm_constants(keys, key_type: KeyType) -> Tuple[float, float]:
+    """(offset, scale) of the normalized key domain for a sorted array:
+    x' = (x - offset) * scale, mapping [min, max] onto [0, 1]."""
+    kmin = float(keys[0])
+    kmax = float(keys[-1])
+    span = kmax - kmin
+    return kmin, (1.0 / span if span > 0 else 1.0)
 
 
 def train_two_layer(keys, key_type: KeyType, yfix, top_type: str,
                     leaf_type: str, B: int):
-    """Train a 2-layer RMI; returns device arrays + host metrics dict."""
+    """Train a 2-layer RMI.  Returns device (normalized-domain) params,
+    patch info for raw conversion, per-leaf errors, host metrics and
+    the normalization constants."""
     validate_spec([top_type, leaf_type])
-    top_params, leaf_params, leaf_errors, metrics = _train_core(
-        keys, yfix, top_type=top_type, leaf_type=leaf_type, B=int(B),
-        key_type=key_type)
-    return top_params, leaf_params, leaf_errors, metrics
+    kminf, s = norm_constants(keys, key_type)
+    top_params, leaf_params, patch, next_idx, leaf_errors, metrics = \
+        _train_core(keys, yfix, jnp.float64(kminf), jnp.float64(s),
+                    top_type=top_type, leaf_type=leaf_type, B=int(B),
+                    key_type=key_type)
+    return (top_params, leaf_params, patch, next_idx, leaf_errors,
+            metrics, kminf, s)

@@ -24,6 +24,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)
+import zlib  # noqa: E402
+
+
+@pytest.fixture()
+def rng(request):
+    # deterministic per test, independent of execution order
+    seed = zlib.crc32(request.node.nodeid.encode())
+    return np.random.default_rng(seed)

@@ -419,5 +419,6 @@ def oracle_two_layer(keys: List[int], top: str, leaf: str, B: int,
     metrics = dict(model_max_error=max_err, model_max_error_idx=max_idx,
                    model_avg_error=avg, model_avg_l2_error=avg_l2,
                    model_avg_log2_error=avg_log2,
-                   model_max_log2_error=max_log2)
+                   model_max_log2_error=max_log2,
+                   _targets=targets)
     return leaf_params, final, metrics

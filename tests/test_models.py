@@ -24,7 +24,8 @@ def fit_pairs(model_name, pairs):
     xf = jnp.asarray([float(k) for k, _ in pairs], dtype=jnp.float64)
     yf = jnp.asarray([float(y) for _, y in pairs], dtype=jnp.float64)
     spans = _whole_array_spans(len(pairs))
-    return m, m.fit_leaves(xf, yf, spans, xf)
+    out = m.fit_leaves(xf, yf, spans, xf)
+    return m, (out["w"] if isinstance(out, dict) else out)
 
 
 def pred_int(m, params, x, bound=10**15):

@@ -52,8 +52,10 @@ def test_dp_matches_single_chip(mesh, rng, top, leaf, B, kind):
     assert np.abs(e1 - e2).max() <= 1
     assert (e1 != e2).sum() <= max(1, B // 20)
 
-    p1 = np.asarray(res.leaf_params)
-    p2 = np.asarray(leaf_p)
+    # dp params are normalized-domain; compare against the single-chip
+    # device view
+    p1 = np.asarray(res.device_leaf_params["w"])
+    p2 = np.asarray(leaf_p["w"] if isinstance(leaf_p, dict) else leaf_p)
     np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-8)
 
     np.testing.assert_allclose(
