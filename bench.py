@@ -1,0 +1,140 @@
+"""Headline benchmark: build a 200M-key RMI on TPU and serve batched
+lookups.
+
+Mirrors the driver-set targets (BASELINE.md): build books_200M_uint64
+10x faster than the Rust reference (14.29s, README.md:52) and sustain
+>= 100M batched lookups/sec on a v5e-8 (=> 12.5M/s/chip) at the
+reference's recommended config cubic,linear 262144 (README.md:86).
+
+SOSD files cannot be downloaded in this environment, so a books-like
+dataset (exponential gaps -> ~uniform u64 CDF) is synthesized ON
+DEVICE; every key is verified against the |guess - lower_bound| <= err
+contract on a sample, and exact lower-bound search is timed end to end
+(model eval + error-bounded last-mile binary search).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": lookups/s/chip, "unit": ..., "vs_baseline":
+   value / 12.5e6, ...extras}
+
+Env knobs: RMI_BENCH_N (default 200_000_000), RMI_BENCH_BRANCH
+(262144), RMI_BENCH_CONFIG (cubic,linear), RMI_BENCH_QUERIES (2^22),
+RMI_BENCH_ITERS (20).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def gen_books_like(n: int, seed: int = 42):
+    """Sorted u64 keys with exponential gaps, generated on device."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        u = jax.random.uniform(key, (n,), dtype=jnp.float32,
+                               minval=1e-7, maxval=1.0)
+        gaps = -jnp.log(u).astype(jnp.float64)
+        csum = jnp.cumsum(gaps)
+        scale = (2.0 ** 62) / csum[-1]
+        return (csum * scale).astype(jnp.uint64)
+
+    keys = gen(jax.random.PRNGKey(seed))
+    keys.block_until_ready()
+    return keys
+
+
+def main():
+    t_start = time.time()
+    import jax
+    import jax.numpy as jnp
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu.keys import KeyType
+    from rmi_tpu.train.api import train
+    from rmi_tpu.lookup import search, lookup
+    from rmi_tpu.serialize import rmi_size
+
+    n = int(os.environ.get("RMI_BENCH_N", 200_000_000))
+    branch = int(os.environ.get("RMI_BENCH_BRANCH", 262144))
+    spec = os.environ.get("RMI_BENCH_CONFIG", "cubic,linear")
+    nq = int(os.environ.get("RMI_BENCH_QUERIES", 1 << 22))
+    iters = int(os.environ.get("RMI_BENCH_ITERS", 20))
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, n={n}, config={spec} {branch}")
+
+    t0 = time.time()
+    keys = gen_books_like(n)
+    log(f"keygen: {time.time()-t0:.2f}s")
+    ds = RMIDataset(keys=keys, key_type=KeyType.U64)
+
+    # cold build (includes jit compilation)
+    t0 = time.time()
+    res = train(ds, spec, branch)
+    cold = time.time() - t0
+    log(f"cold build: {cold:.2f}s")
+
+    # warm build — the production regime (compile cache amortized);
+    # comparable to the reference's per-build cost.
+    t0 = time.time()
+    res = train(ds, spec, branch)
+    warm = time.time() - t0
+    log(f"warm build: {warm:.3f}s  max_err={res.model_max_error} "
+        f"avg_log2={res.model_avg_log2_error:.4f} "
+        f"size={rmi_size(res)}")
+
+    # correctness sample: bound contract on every 97th key
+    sample = ds.keys[:: max(1, n // 2_000_000)]
+    g, e = lookup(res, sample)
+    true_lb = jnp.searchsorted(ds.keys, sample, side="left")
+    viol = int(jnp.sum(jnp.abs(g - true_lb.astype(jnp.int64))
+                       > e))
+    log(f"bound violations in sample: {viol}")
+
+    # lookup throughput: uniform random queries, exact lower-bound
+    # search (top eval + leaf eval + bounded binary search)
+    qkey = jax.random.PRNGKey(7)
+    queries = jax.random.randint(
+        qkey, (nq,), 0, np.iinfo(np.int64).max, dtype=jnp.int64
+    ).astype(jnp.uint64) << jnp.uint64(1)
+    idx = search(res, queries)
+    jax.block_until_ready(idx)          # warm up compile
+    t0 = time.time()
+    for i in range(iters):
+        idx = search(res, queries)
+    jax.block_until_ready(idx)
+    dt = (time.time() - t0) / iters
+    rate = nq / dt
+    log(f"search: {dt*1e3:.2f} ms / {nq} queries -> {rate/1e6:.1f}M/s")
+
+    ref_build_s = 14.288421237          # README.md:52
+    out = {
+        "metric": f"books{n//1_000_000}M_{spec.replace(',', '_')}_"
+                  f"{branch}_lookups",
+        "value": rate,
+        "unit": "lookups_per_sec_per_chip",
+        # baseline target: 100M/s on v5e-8 => 12.5M/s per chip
+        "vs_baseline": rate / 12.5e6,
+        "build_time_s": warm,
+        "build_cold_s": cold,
+        "build_speedup_vs_reference": ref_build_s / warm,
+        "model_max_error": int(res.model_max_error),
+        "model_avg_log2_error": float(res.model_avg_log2_error),
+        "rmi_size_bytes": int(rmi_size(res)),
+        "bound_violations_sampled": viol,
+        "n_keys": n,
+        "total_wall_s": time.time() - t_start,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -111,10 +111,22 @@ def _cachefix_interp(spline_keys, spline_vals, queries, start, err_s, *,
 
 
 def _err_iters(rmi) -> int:
+    """Binary-search trip count covering the widest error window.
+    Cached on the rmi: the max-reduction is a host sync, which must not
+    run once per lookup batch."""
+    cached = getattr(rmi, "_err_iters_cache", None)
+    if cached is not None:
+        return cached
     if rmi.leaf_errors is None:
-        return 1
-    max_err = int(jnp.max(rmi.leaf_errors))
-    return max(1, math.ceil(math.log2(2 * max_err + 2)) + 1)
+        iters = 1
+    else:
+        max_err = int(jnp.max(rmi.leaf_errors))
+        iters = max(1, math.ceil(math.log2(2 * max_err + 2)) + 1)
+    try:
+        rmi._err_iters_cache = iters
+    except AttributeError:
+        pass
+    return iters
 
 
 def _eval(rmi, queries):
