@@ -148,6 +148,15 @@ def second_phase_configs(first_phase: Sequence[RMIStatistics]
 
 def measure_rmis(data, configs: Sequence[Tuple[str, int]],
                  progress=None) -> List[RMIStatistics]:
+    """Train + measure each configuration.  With more than one device
+    available, configurations fan out across the device pool (the
+    rayon-par_iter analogue, optimizer.rs:220-231)."""
+    import jax
+
+    if jax.device_count() > 1 and len(configs) > 1:
+        from rmi_tpu.parallel.sweep import parallel_measure_rmis
+        return parallel_measure_rmis(data, configs, progress=progress)
+
     from rmi_tpu.train.api import train
 
     out = []

@@ -83,3 +83,22 @@ def test_sharded_serving(mesh, rng):
     g1, e1 = lookup(res, qs)
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
     np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+def test_parallel_sweep(mesh, rng):
+    """Config-level device-parallel measure_rmis matches sequential."""
+    from rmi_tpu.parallel.sweep import parallel_measure_rmis
+    from rmi_tpu.optimizer import measure_rmis
+    import jax
+
+    keys = np.sort(rng.integers(0, 2**40, size=2048, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    configs = [("linear,linear", 32), ("cubic,linear", 64),
+               ("linear,linear", 128), ("linear_spline,linear", 64)]
+    seq = measure_rmis(ds, configs)
+    par = parallel_measure_rmis(ds, configs, devices=jax.devices()[:4])
+    for a, b in zip(seq, par):
+        assert a.models == b.models
+        assert a.size == b.size
+        np.testing.assert_allclose(a.average_log2_error,
+                                   b.average_log2_error, rtol=1e-12)
