@@ -100,17 +100,26 @@ def main():
     log(f"bound violations in sample: {viol}")
 
     # lookup throughput: uniform random queries, exact lower-bound
-    # search (top eval + leaf eval + bounded binary search)
+    # search (top eval + leaf eval + hierarchical row-resolve).
+    # Timing note: block_until_ready is unreliable over the tunneled
+    # device, so iterations are CHAINED (each batch derived from the
+    # previous result) and a value is materialized at the end — the
+    # measured span provably covers all device work.
     qkey = jax.random.PRNGKey(7)
     queries = jax.random.randint(
         qkey, (nq,), 0, np.iinfo(np.int64).max, dtype=jnp.int64
     ).astype(jnp.uint64) << jnp.uint64(1)
+
+    perturb = jax.jit(
+        lambda q, i: q ^ (i.astype(jnp.uint64) & jnp.uint64(1023)))
     idx = search(res, queries)
-    jax.block_until_ready(idx)          # warm up compile
+    _ = int(jnp.max(idx))               # warm up compile + sync
+    q = queries
     t0 = time.time()
     for i in range(iters):
-        idx = search(res, queries)
-    jax.block_until_ready(idx)
+        idx = search(res, q)
+        q = perturb(queries, idx)
+    _ = int(jnp.max(idx))               # forces the whole chain
     dt = (time.time() - t0) / iters
     rate = nq / dt
     log(f"search: {dt*1e3:.2f} ms / {nq} queries -> {rate/1e6:.1f}M/s")

@@ -171,6 +171,10 @@ def search(rmi, queries, keys=None):
         iters = max(1, math.ceil(math.log2(2 * rmi.cache_fix[0] + 2)) + 2)
         return _bounded_search_jit(jnp.asarray(keys), queries, pos,
                                    err + 1, n=n, iters=iters)
+    from rmi_tpu import lookup_fast
+    if keys is None and lookup_fast.supports_fast_path(rmi):
+        # hierarchical row-resolve: the TPU-native last mile
+        return lookup_fast.fast_search(rmi, queries)
     if keys is None:
         keys = rmi.keys
     guess, err, _ = _eval(rmi, queries)

@@ -1,0 +1,91 @@
+"""Hierarchical row-resolve serving path: exactness against plain
+searchsorted across model families, key types, duplicates and level
+counts (rmi_tpu/lookup_fast.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rmi_tpu.data import RMIDataset
+from rmi_tpu.train.api import train
+from rmi_tpu.lookup import search
+from rmi_tpu.lookup_fast import (fast_search, get_plan, supports_fast_path,
+                                 SearchPlan, _overlapped_rows, resolve)
+
+
+@pytest.mark.parametrize("spec,B", [
+    ("cubic,linear", 256),
+    ("linear,linear", 64),
+    ("linear,cubic", 64),
+    ("normal,lognormal", 32),
+    ("radix,linear", 64),
+    ("bradix,linear", 64),
+    ("loglinear,linear_spline", 64),
+])
+def test_fast_search_exact(rng, spec, B):
+    keys = np.sort(rng.integers(0, 2**45, size=20000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, spec, B)
+    assert supports_fast_path(res)
+    q = np.concatenate([keys[::3],
+                        rng.integers(0, 2**45, 7000, dtype=np.uint64),
+                        [np.uint64(0), keys[0], keys[-1],
+                         np.uint64(2**45 + 5)]])
+    idx = np.asarray(fast_search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+
+def test_fast_search_duplicates(rng):
+    keys = np.sort(rng.integers(0, 400, size=9000, dtype=np.uint64)) * 3
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "linear,linear", 32)
+    q = np.arange(0, 1300, dtype=np.uint64)
+    idx = np.asarray(fast_search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+
+def test_fast_search_f64(rng):
+    keys = np.sort(rng.uniform(0, 1e15, size=8000))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "cubic,linear", 64)
+    q = np.concatenate([keys[::5], rng.uniform(0, 1.1e15, size=4000)])
+    idx = np.asarray(fast_search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+
+def test_multi_level_plan(rng):
+    """Force a large max_err so K >= 2 levels engage."""
+    # heavily clustered data makes linear tops awful
+    centers = rng.integers(0, 2**50, size=4, dtype=np.uint64)
+    keys = np.sort(np.concatenate(
+        [c + rng.integers(0, 900, size=20000, dtype=np.uint64)
+         for c in centers]))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "linear,linear", 8)
+    plan = get_plan(res)
+    assert plan.K >= 2, plan.max_err
+    q = np.concatenate([keys[::7],
+                        rng.integers(0, 2**50, 5000, dtype=np.uint64)])
+    idx = np.asarray(fast_search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+
+def test_search_uses_fast_path(rng):
+    keys = np.sort(rng.integers(0, 2**40, size=5000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "cubic,linear", 64)
+    q = rng.integers(0, 2**40, size=3000, dtype=np.uint64)
+    idx = np.asarray(search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+    assert getattr(res, "_search_plan", None) is not None
+
+
+def test_overlapped_rows_shape():
+    lvl = jnp.arange(200, dtype=jnp.uint64)
+    rows = _overlapped_rows(lvl)
+    assert rows.shape == (4, 128)
+    np.testing.assert_array_equal(np.asarray(rows[0, :128]),
+                                  np.arange(128))
+    # pad lanes are the max key
+    assert int(rows[3, -1]) == np.iinfo(np.uint64).max
