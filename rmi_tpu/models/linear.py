@@ -86,8 +86,7 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0):
     mean_x = sx / safe_cnt
     mean_y = sy / safe_cnt
 
-    m2 = seg.aug_centered_dot(use, xf, xf, mean_x, mean_x, weights)
-    c = seg.aug_centered_dot(use, xf, yf, mean_x, mean_y, weights)
+    m2, c = seg.aug_centered_moments(use, xf, yf, mean_x, mean_y, weights)
 
     # beta = cov/var; the (n-1) normalizations cancel (linear.rs:46-55).
     var_zero = m2 <= 0.0

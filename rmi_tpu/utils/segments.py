@@ -82,8 +82,47 @@ def make_spans(t: jax.Array, B: int) -> Spans:
 
 
 def aug_count(spans: Spans) -> jax.Array:
-    """Number of points in each augmented range (f64)."""
+    """Number of points in each augmented range (f64) — pure index
+    arithmetic, no pass over the data."""
     return (spans.aug_ends - spans.aug_starts).astype(jnp.float64)
+
+
+def aug_centered_moments(spans: Spans, x: jax.Array, y: jax.Array,
+                         mean_x: jax.Array, mean_y: jax.Array,
+                         weights: jax.Array | None = None):
+    """(m2, c) = per-leaf (sum (x-mx)^2, sum (x-mx)(y-my)) over the
+    augmented ranges, sharing ONE packed [B,2] sorted-index gather of
+    the means — the per-element indexed ops dominate build time on TPU
+    (~30ns each), so both second-pass moments are fused."""
+    if spans.B == 1:
+        mx_t, my_t = mean_x[0], mean_y[0]
+    else:
+        means = jnp.stack([mean_x, mean_y], axis=-1)
+        mt = jnp.take(means, spans.t, axis=0, indices_are_sorted=True)
+        mx_t, my_t = mt[:, 0], mt[:, 1]
+    dx = x - mx_t
+    dxx = dx * dx
+    dxy = dx * (y - my_t)
+    if weights is not None:
+        dxx = dxx * weights
+        dxy = dxy * weights
+    i_m2 = range_sum(dxx, spans.starts, spans.ends)
+    i_c = range_sum(dxy, spans.starts, spans.ends)
+
+    def edge_terms(idx, present):
+        i = jnp.clip(idx, 0, spans.n - 1)
+        ex = x[i] - mean_x
+        exx = ex * ex
+        exy = ex * (y[i] - mean_y)
+        if weights is not None:
+            exx = exx * weights[i]
+            exy = exy * weights[i]
+        return (jnp.where(present, exx, 0.0),
+                jnp.where(present, exy, 0.0))
+
+    pxx, pxy = edge_terms(spans.starts - 1, spans.has_prev)
+    nxx, nxy = edge_terms(spans.ends, spans.has_next)
+    return i_m2 + pxx + nxx, i_c + pxy + nxy
 
 
 def aug_sum(spans: Spans, values: jax.Array) -> jax.Array:
@@ -163,4 +202,6 @@ def segment_max_sorted(values: jax.Array, t: jax.Array, B: int,
         nonempty = jax.ops.segment_sum(
             jnp.ones_like(t, dtype=jnp.int32), t,
             num_segments=B, indices_are_sorted=True) > 0
+    if out.ndim > nonempty.ndim:
+        nonempty = nonempty.reshape(nonempty.shape + (1,) * (out.ndim - 1))
     return jnp.where(nonempty, out, jnp.asarray(fill, dtype=values.dtype))
