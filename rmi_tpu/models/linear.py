@@ -121,8 +121,10 @@ def _linear_predict(params, leaf_idx, keys_f):
     if leaf_idx is None:
         alpha, beta = params[0, 0], params[0, 1]
     else:
-        rows = params[leaf_idx]
-        alpha, beta = rows[..., 0], rows[..., 1]
+        # column-wise 1-D gathers: an [n, ppm] gather output would be
+        # lane-padded ppm->128 by TPU tiling
+        alpha = jnp.take(params[:, 0], leaf_idx)
+        beta = jnp.take(params[:, 1], leaf_idx)
     return beta * keys_f + alpha
 
 

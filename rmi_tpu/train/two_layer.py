@@ -180,15 +180,15 @@ def _train_core(keys, yfix, kminf, s, *, top_type: str, leaf_type: str,
     else:
         patch = jnp.zeros((B,), dtype=bool)
 
-    # error sweep (two_layer.rs:205-217), fused with the duplicate-run
-    # reduction: one scatter-max over [n, 2]
+    # error sweep (two_layer.rs:205-217).  Reductions stay 1-D: [n, k]
+    # intermediates lane-pad k->128 on TPU and explode memory.
     t_idx = None if B == 1 else t
     pred = predict_clamped(mleaf.predict(leaf_params, t_idx, leaf_in), n)
     err = _error_between(pred, jnp.minimum(yfix, n), n)
-    both = seg.segment_max_sorted(jnp.stack([err, run_counted], axis=-1),
-                                  t, B, fill=0, nonempty=spans.nonempty)
-    max_err = both[:, 0]
-    longest_run = both[:, 1]
+    max_err = seg.segment_max_sorted(err, t, B, fill=0,
+                                     nonempty=spans.nonempty)
+    longest_run = seg.segment_max_sorted(run_counted, t, B, fill=0,
+                                         nonempty=spans.nonempty)
     cnt = spans.ends - spans.starts
 
     # epsilon probes (two_layer.rs:226-259)

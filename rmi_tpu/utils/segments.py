@@ -91,15 +91,16 @@ def aug_centered_moments(spans: Spans, x: jax.Array, y: jax.Array,
                          mean_x: jax.Array, mean_y: jax.Array,
                          weights: jax.Array | None = None):
     """(m2, c) = per-leaf (sum (x-mx)^2, sum (x-mx)(y-my)) over the
-    augmented ranges, sharing ONE packed [B,2] sorted-index gather of
-    the means — the per-element indexed ops dominate build time on TPU
-    (~30ns each), so both second-pass moments are fused."""
+    augmented ranges, fused so the mean gathers and the element pass
+    are shared between both moments."""
     if spans.B == 1:
         mx_t, my_t = mean_x[0], mean_y[0]
     else:
-        means = jnp.stack([mean_x, mean_y], axis=-1)
-        mt = jnp.take(means, spans.t, axis=0, indices_are_sorted=True)
-        mx_t, my_t = mt[:, 0], mt[:, 1]
+        # NOTE: gathers stay 1-D — [n, k] intermediates are lane-padded
+        # k->128 by TPU tiling (64x memory) and must never materialize
+        # at n scale.
+        mx_t = jnp.take(mean_x, spans.t, indices_are_sorted=True)
+        my_t = jnp.take(mean_y, spans.t, indices_are_sorted=True)
     dx = x - mx_t
     dxx = dx * dx
     dxy = dx * (y - my_t)
