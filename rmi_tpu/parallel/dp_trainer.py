@@ -35,22 +35,27 @@ try:
     from jax import shard_map as _shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
+        # check_vma=False: replication of all-gathered bit-reductions
+        # (radix prefixes) cannot be statically inferred
         return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs)
-except ImportError:  # older jax
+                          out_specs=out_specs, check_vma=False)
+except (ImportError, TypeError):  # older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
     def shard_map(f, mesh, in_specs, out_specs):
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs)
+                              out_specs=out_specs, check_rep=False)
 
 from rmi_tpu import keys as keymod
 from rmi_tpu.keys import KeyType
 
 AXIS = "data"
 
-DP_TOP_MODELS = ("linear", "robust_linear", "linear_spline", "cubic")
-DP_LEAF_MODELS = ("linear", "linear_spline", "cubic")
+DP_TOP_MODELS = ("linear", "robust_linear", "linear_spline", "cubic",
+                 "loglinear", "normal", "lognormal", "radix", "bradix",
+                 "histogram")
+DP_LEAF_MODELS = ("linear", "robust_linear", "linear_spline", "cubic",
+                  "loglinear", "normal", "lognormal")
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +223,22 @@ def _predict_cubic(params, idx, x):
     return ((a * x + b) * x + c) * x + d
 
 
+def _global_bitword_reduce(ki_local):
+    """(OR, AND) of the u64 key words across all shards
+    (common_prefix_size, utils.rs:23-36)."""
+    any_ones = jax.lax.reduce(ki_local, jnp.uint64(0),
+                              jax.lax.bitwise_or, (0,))
+    no_ones = jax.lax.reduce(ki_local, jnp.uint64(0xFFFFFFFFFFFFFFFF),
+                             jax.lax.bitwise_and, (0,))
+    ors = jax.lax.all_gather(any_ones, AXIS)
+    ands = jax.lax.all_gather(no_ones, AXIS)
+    any_ones = jax.lax.reduce(ors, jnp.uint64(0), jax.lax.bitwise_or, (0,))
+    no_ones = jax.lax.reduce(ands, jnp.uint64(0xFFFFFFFFFFFFFFFF),
+                             jax.lax.bitwise_and, (0,))
+    constant_bits = (~no_ones) ^ any_ones
+    return jax.lax.clz(~constant_bits).astype(jnp.uint64)
+
+
 def _dist_fit_linear_top(xf, yf, n, trim=False):
     zero = jnp.zeros((1,), jnp.int64)
     full = jnp.full((1,), n, jnp.int64)
@@ -287,35 +308,128 @@ def _dist_fit_cubic_top(xf, yf, ep0, ep1, n):
     return jnp.where((le < ce)[:, None], lin_as_cubic, cubic_p)
 
 
-def _dist_fit_leaves(leaf_type, xf, yf, t_local, spans, xf_sorted, n, B):
+def _dist_slr_leaves(xf, yf, t_local, spans, n, weights=None, trim=False):
+    """Distributed per-leaf SLR over augmented spans with optional
+    item weights (loglinear) and end-trimming (robust_linear)."""
+    starts, ends, aug_a, aug_b, nonempty, has_prev, has_next = spans
+    if trim:
+        # robust_linear trims max(1, 1e-4*len) from each container end
+        # (linear.rs:247-252); tiny containers fall back untrimmed.
+        total = aug_b - aug_a
+        bnd = jnp.maximum(jnp.int64(1),
+                          (total.astype(jnp.float64) * 1e-4
+                           ).astype(jnp.int64))
+        ok = (2 * bnd + 1) < total
+        lo = jnp.where(ok, aug_a + bnd, aug_a)
+        hi = jnp.where(ok, jnp.maximum(aug_b - bnd, aug_a + bnd), aug_b)
+        aug_a, aug_b = lo, hi
+        starts, ends = lo, hi
+        has_prev = jnp.zeros_like(has_prev)
+        has_next = jnp.zeros_like(has_next)
+
+    ones = jnp.ones_like(xf) if weights is None else weights
+    xw = xf if weights is None else xf * weights
+    yw = yf if weights is None else yf * weights
+    cnt = global_range_sum(ones, aug_a, aug_b)
+    sx = global_range_sum(xw, aug_a, aug_b)
+    sy = global_range_sum(yw, aug_a, aug_b)
+    safe = jnp.maximum(cnt, 1.0)
+    mean_x, mean_y = sx / safe, sy / safe
+    mx_t = mean_x[t_local]
+    my_t = mean_y[t_local]
+    dxx = (xf - mx_t) * (xf - mx_t)
+    dxy = (xf - mx_t) * (yf - my_t)
+    if weights is not None:
+        dxx = dxx * weights
+        dxy = dxy * weights
+    m2 = global_range_sum(dxx, starts, ends)
+    c = global_range_sum(dxy, starts, ends)
+
+    def edge(idx, present):
+        i = jnp.clip(idx, 0, n - 1)
+        xv = global_value_at(xf, i)
+        yv = global_value_at(yf, i)
+        wv = 1.0 if weights is None else global_value_at(weights, i)
+        exx = (xv - mean_x) * (xv - mean_x) * wv
+        exy = (xv - mean_x) * (yv - mean_y) * wv
+        return (jnp.where(present, exx, 0.0),
+                jnp.where(present, exy, 0.0))
+
+    pxx, pxy = edge(starts - 1, has_prev)
+    nxx, nxy = edge(ends, has_next)
+    return _slr_combine(cnt, mean_x, mean_y, m2 + pxx + nxx,
+                        c + pxy + nxy)
+
+
+def _dist_fit_ncdf_leaves(xv, yf, t_local, spans, n):
+    """Distributed normal/lognormal leaf fits: mean/biased stdev of the
+    (possibly log-transformed) keys, scale = last (max) target
+    (normal.rs:28-50)."""
+    starts, ends, aug_a, aug_b, nonempty, has_prev, has_next = spans
+    cnt = global_range_sum(jnp.ones_like(xv), aug_a, aug_b)
+    sx = global_range_sum(xv, aug_a, aug_b)
+    mean = jnp.where(cnt == 0, 0.0, sx / jnp.maximum(cnt, 1.0))
+    mt = mean[t_local]
+    d2 = (xv - mt) * (xv - mt)
+    ss = global_range_sum(d2, starts, ends)
+
+    def edge(idx, present):
+        i = jnp.clip(idx, 0, n - 1)
+        ev = global_value_at(xv, i) - mean
+        return jnp.where(present, ev * ev, 0.0)
+
+    ss = ss + edge(starts - 1, has_prev) + edge(ends, has_next)
+    stdev = jnp.sqrt(jnp.where(cnt == 0, jnp.nan,
+                               jnp.maximum(ss, 0.0)
+                               / jnp.maximum(cnt, 1.0)))
+    last = jnp.clip(aug_b - 1, 0, n - 1)
+    scale = jnp.where(cnt == 0, -jnp.inf, global_value_at(yf, last))
+    return jnp.stack([mean, stdev, scale], axis=-1)
+
+
+def _predict_ncdf(params, idx, x, lognormal=False):
+    from rmi_tpu.models.normal import phi
+    if idx is None:
+        mean, stdev, scale = params[0, 0], params[0, 1], params[0, 2]
+    else:
+        rows = params[idx]
+        mean, stdev, scale = rows[..., 0], rows[..., 1], rows[..., 2]
+    if lognormal:
+        raw = jnp.log(x)
+        x = jnp.where(jnp.isnan(raw), 0.0, jnp.maximum(raw, 0.0))
+    return phi((x - mean) / stdev) * scale
+
+
+def _predict_loglinear(params, idx, x):
+    from rmi_tpu.models.linear import exp1
+    return exp1(_predict_linear(params, idx, x))
+
+
+def _dist_fit_leaves(leaf_type, xf, yf, t_local, spans, xf_sorted, n, B,
+                     xraw=None):
     """Distributed per-leaf fits over augmented global spans."""
     starts, ends, aug_a, aug_b, nonempty, has_prev, has_next = spans
 
-    if leaf_type in ("linear",):
-        cnt = global_range_sum(jnp.ones_like(xf), aug_a, aug_b)
-        sx = global_range_sum(xf, aug_a, aug_b)
-        sy = global_range_sum(yf, aug_a, aug_b)
-        safe = jnp.maximum(cnt, 1.0)
-        mean_x, mean_y = sx / safe, sy / safe
-        mx_t = mean_x[t_local]
-        my_t = mean_y[t_local]
-        dxx = (xf - mx_t) * (xf - mx_t)
-        dxy = (xf - mx_t) * (yf - my_t)
-        m2 = global_range_sum(dxx, starts, ends)
-        c = global_range_sum(dxy, starts, ends)
+    if leaf_type == "linear":
+        return _dist_slr_leaves(xf, yf, t_local, spans, n)
 
-        def edge(idx, present):
-            xv = global_value_at(xf, jnp.clip(idx, 0, n - 1))
-            yv = global_value_at(yf, jnp.clip(idx, 0, n - 1))
-            exx = (xv - mean_x) * (xv - mean_x)
-            exy = (xv - mean_x) * (yv - mean_y)
-            return (jnp.where(present, exx, 0.0),
-                    jnp.where(present, exy, 0.0))
+    if leaf_type == "robust_linear":
+        return _dist_slr_leaves(xf, yf, t_local, spans, n, trim=True)
 
-        pxx, pxy = edge(starts - 1, has_prev)
-        nxx, nxy = edge(ends, has_next)
-        return _slr_combine(cnt, mean_x, mean_y, m2 + pxx + nxx,
-                            c + pxy + nxy)
+    if leaf_type == "loglinear":
+        ln = jnp.log(yf)
+        keep = jnp.isfinite(ln)
+        return _dist_slr_leaves(xf, jnp.where(keep, ln, 0.0), t_local,
+                                spans, n,
+                                weights=keep.astype(jnp.float64))
+
+    if leaf_type == "normal":
+        return _dist_fit_ncdf_leaves(xf, yf, t_local, spans, n)
+
+    if leaf_type == "lognormal":
+        lnx = jnp.log(xraw)
+        lnx = jnp.where(jnp.isfinite(lnx), lnx, 0.0)
+        return _dist_fit_ncdf_leaves(lnx, yf, t_local, spans, n)
 
     if leaf_type == "linear_spline":
         from rmi_tpu.models.linear import spline_from_endpoints
@@ -399,6 +513,10 @@ def _dist_fit_leaves(leaf_type, xf, yf, t_local, spans, xf_sorted, n, B):
 # the full distributed training step
 # ---------------------------------------------------------------------------
 
+def t64_placeholder(m):
+    return jnp.zeros((m,), dtype=jnp.int32)
+
+
 def _predict_clamped_f(pred_f, bound):
     p = jnp.floor(pred_f)
     p = jnp.where(jnp.isnan(p), 0.0, jnp.clip(p, 0.0, jnp.float64(bound)))
@@ -413,6 +531,7 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
     # f64 range safety
     xraw = keymod.as_float(keys_local)
     xf = (xraw - kminf) * snorm
+    ki = keymod.as_int(keys_local)
 
     yfix_local, changed = dist_fixdups(keys_local)
     yf = yfix_local.astype(jnp.float64)
@@ -428,6 +547,7 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
         ep_last = jnp.full((1,), float(n - 1))
 
     # --- top fit + assignment
+    t_int = None
     if top_type in ("linear", "robust_linear"):
         top_p = _dist_fit_linear_top(xf, ys_scaled, n,
                                      trim=top_type == "robust_linear")
@@ -438,10 +558,93 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
     elif top_type == "cubic":
         top_p = _dist_fit_cubic_top(xf, ys_scaled, ep_first, ep_last, n)
         top_pred = _predict_cubic(top_p, None, xf)
+    elif top_type == "loglinear":
+        ln = jnp.log(ys_scaled)
+        keep = jnp.isfinite(ln)
+        one = jnp.ones((1,), jnp.int64)
+        full_spans = (0 * one, n * one, 0 * one, n * one,
+                      one > 0, one < 0, one < 0)
+        top_p = _dist_slr_leaves(xf, jnp.where(keep, ln, 0.0),
+                                 jnp.zeros_like(t64_placeholder(m)),
+                                 full_spans, n,
+                                 weights=keep.astype(jnp.float64))
+        top_pred = _predict_loglinear(top_p, None, xf)
+    elif top_type in ("normal", "lognormal"):
+        one = jnp.ones((1,), jnp.int64)
+        full_spans = (0 * one, n * one, 0 * one, n * one,
+                      one > 0, one < 0, one < 0)
+        xv = xf
+        if top_type == "lognormal":
+            lnx = jnp.log(xraw)
+            xv = jnp.where(jnp.isfinite(lnx), lnx, 0.0)
+        top_p = _dist_fit_ncdf_leaves(xv, ys_scaled,
+                                      jnp.zeros_like(t64_placeholder(m)),
+                                      full_spans, n)
+        top_pred = _predict_ncdf(top_p, None, xv if False else (
+            xraw if top_type == "lognormal" else xf),
+            lognormal=top_type == "lognormal")
+    elif top_type == "radix":
+        from rmi_tpu.models.radix import num_bits_device, _shl, _shr
+        largest = global_value_at(
+            ys_scaled, jnp.full((1,), n - 1, jnp.int64))[0]
+        bits = num_bits_device(largest.astype(jnp.uint64))
+        prefix = _global_bitword_reduce(ki)
+        res = _shr(_shl(ki, prefix), jnp.uint64(64) - bits)
+        top_pred = None
+        t_int = jnp.where(bits == 0, jnp.uint64(0), res)
+        top_p = jnp.stack([prefix, bits]).astype(jnp.float64)[None, :]
+    elif top_type == "bradix":
+        from rmi_tpu.models.radix import num_bits_device, _bradix_bucket
+        largest = global_value_at(
+            ys_scaled, jnp.full((1,), n - 1, jnp.int64))[0]
+        max_output = largest.astype(jnp.uint64)
+        bits = num_bits_device(max_output)
+        prefix = _global_bitword_reduce(ki)
+        one = jnp.uint64(1)
+        scores, cands = [], []
+        for db in (0, 1):
+            tb = jnp.minimum(bits + jnp.uint64(db), jnp.uint64(63))
+            valid = (bits + jnp.uint64(db)) < jnp.uint64(64)
+            bits_max = (one << jnp.minimum(tb + one, jnp.uint64(63))) - one
+            for high, clamp in ((True, max_output - one),
+                                (False, max_output - bits_max)):
+                bucket = _bradix_bucket(ki, prefix, tb, clamp,
+                                        jnp.asarray(high))
+                bb = jnp.minimum(bucket, jnp.maximum(
+                    max_output, jnp.uint64(1)) - 1)
+                edges = jnp.arange(B + 1, dtype=jnp.uint64)
+                counts = global_searchsorted(bb, edges, "left")
+                cnts = (counts[1:] - counts[:B]).astype(jnp.float64)
+                live = jnp.arange(B, dtype=jnp.uint64) < max_output
+                e = jnp.float64(n) / jnp.maximum(
+                    jnp.float64(max_output), 1.0)
+                score = jnp.sum(jnp.where(live, (cnts - e) ** 2 / e, 0.0))
+                scores.append(jnp.where(valid, score, jnp.inf))
+                cands.append(jnp.stack(
+                    [prefix, tb, clamp, jnp.uint64(1 if high else 0)]))
+        best = jnp.argmin(jnp.stack(scores))
+        w = jnp.stack(cands)[best]
+        t_int = _bradix_bucket(ki, w[0], w[1], w[2], w[3] != 0)
+        top_p = w.astype(jnp.float64)[None, :]
+    elif top_type == "histogram":
+        import sys as _s
+        sfv = float(B) / float(n)
+        num_bins = int((n - 1) * sfv) \
+            if abs(sfv - 1.0) > _s.float_info.epsilon else n - 1
+        items_per_bin = n // max(num_bins, 1)
+        pidx = jnp.arange(num_bins, dtype=jnp.int64) * items_per_bin
+        pivots = global_value_at(ki, pidx, dtype=jnp.uint64)
+        ub = jnp.searchsorted(pivots, ki, side="right")
+        t_int = (ub.astype(jnp.int64) - 1).astype(jnp.uint64)
+        top_p = pivots.astype(jnp.float64)[None, :]
     else:
         raise NotImplementedError(top_type)
 
-    t_local = _predict_clamped_f(top_pred, B - 1).astype(jnp.int32)
+    if t_int is not None:
+        t_local = jnp.minimum(
+            t_int, jnp.uint64(B - 1)).astype(jnp.int32)
+    else:
+        t_local = _predict_clamped_f(top_pred, B - 1).astype(jnp.int32)
 
     # --- global spans
     leaf_ids = jnp.arange(B, dtype=jnp.int32)
@@ -455,7 +658,7 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
     spans = (starts, ends, aug_a, aug_b, nonempty, has_prev, has_next)
 
     leaf_params = _dist_fit_leaves(leaf_type, xf, yf, t_local, spans,
-                                   xf, n, B)
+                                   xf, n, B, xraw=xraw)
 
     # --- lower-bound pieces
     big = jnp.int64(n + 1)
@@ -491,7 +694,8 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
     longest_run = jnp.where(nonempty, longest_run, 0)
 
     # --- empty-leaf constant patch
-    const_ok = leaf_type in ("linear", "linear_spline", "cubic")
+    const_ok = leaf_type in ("linear", "robust_linear", "linear_spline",
+                             "cubic")
     if const_ok:
         cst = next_idx.astype(jnp.float64)
         if leaf_type == "cubic":
@@ -502,10 +706,20 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
         patch = (~nonempty) & (jnp.arange(B) < B - 1)
         leaf_params = jnp.where(patch[:, None], rows, leaf_params)
 
-    predict = _predict_cubic if leaf_type == "cubic" else _predict_linear
+    if leaf_type == "cubic":
+        predict = _predict_cubic
+    elif leaf_type == "loglinear":
+        predict = _predict_loglinear
+    elif leaf_type == "normal":
+        predict = _predict_ncdf
+    elif leaf_type == "lognormal":
+        predict = functools.partial(_predict_ncdf, lognormal=True)
+    else:
+        predict = _predict_linear
 
-    # --- error sweep
-    pred = _predict_clamped_f(predict(leaf_params, t_local, xf), n)
+    # --- error sweep (lognormal leaves take raw key floats)
+    leaf_in = xraw if leaf_type == "lognormal" else xf
+    pred = _predict_clamped_f(predict(leaf_params, t_local, leaf_in), n)
     err = jnp.abs(pred - jnp.minimum(yfix_local, n))
     local_err = jax.ops.segment_max(err, t_local, num_segments=B,
                                     indices_are_sorted=True)
@@ -516,11 +730,13 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
     # --- probes
     lids = jnp.arange(B)
     up_keys = keymod.minus_epsilon(next_key, key_type)
-    up_in = (keymod.as_float(up_keys) - kminf) * snorm
+    up_in = keymod.as_float(up_keys) if leaf_type == "lognormal" \
+        else (keymod.as_float(up_keys) - kminf) * snorm
     pred_up = _predict_clamped_f(predict(leaf_params, lids, up_in), n)
     upper_err = jnp.abs(pred_up - jnp.minimum(next_idx + 1, n))
     lo_keys = keymod.plus_epsilon(prev_key, key_type)
-    lo_in = (keymod.as_float(lo_keys) - kminf) * snorm
+    lo_in = keymod.as_float(lo_keys) if leaf_type == "lognormal" \
+        else (keymod.as_float(lo_keys) - kminf) * snorm
     pred_lo = _predict_clamped_f(predict(leaf_params, lids, lo_in), n)
     first_idx = next_idx[jnp.maximum(lids - 1, 0)]
     lower_err = jnp.abs(pred_lo - jnp.minimum(first_idx, n))

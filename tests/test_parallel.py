@@ -102,3 +102,27 @@ def test_parallel_sweep(mesh, rng):
         assert a.size == b.size
         np.testing.assert_allclose(a.average_log2_error,
                                    b.average_log2_error, rtol=1e-12)
+
+
+@pytest.mark.parametrize("top,leaf,B", [
+    ("loglinear", "linear", 32),
+    ("normal", "linear", 32),
+    ("lognormal", "linear", 32),
+    ("radix", "linear", 64),
+    ("bradix", "linear", 64),
+    ("histogram", "linear", 32),
+    ("linear", "loglinear", 16),
+    ("linear", "normal", 16),
+    ("linear", "lognormal", 16),
+    ("linear", "robust_linear", 32),
+])
+def test_dp_full_zoo(mesh, rng, top, leaf, B):
+    """Extended dp model zoo matches the single-chip build."""
+    keys = np.sort(rng.integers(1, 2**40, size=4096, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, f"{top},{leaf}", B)
+    top_p, leaf_p, errs, metrics = dp_train_two_layer(
+        ds.keys, ds.key_type, top, leaf, B, mesh)
+    e1 = np.asarray(res.leaf_errors).astype(np.int64)
+    e2 = np.asarray(errs).astype(np.int64)
+    assert np.abs(e1 - e2).max() <= 1, (top, leaf, np.abs(e1-e2).max())
