@@ -1,23 +1,24 @@
-"""Two-layer RMI training as a single fused device program.
+"""Two-layer RMI training as a staged sequence of fused device programs.
 
 This is the TPU-native re-design of train_two_layer (two_layer.rs:101-
 306).  The reference makes four sequential streaming passes over the
 sorted array (top fit, leaf partition+fit, lower-bound correction,
-error sweep); here each pass is a batched vector program and the whole
-build is one jit-compiled function:
+error sweep); here each pass is a batched vector program, jit-compiled
+as three stages so each stage's O(n) temporaries are freed before the
+next allocates (200M-key builds would otherwise exceed one chip's HBM):
 
-  1. top-model fit on the scaled CDF (two_layer.rs:109-110);
-  2. leaf assignment t[k] = min(B-1, top(k)) — non-decreasing, so leaf
-     extents are searchsorted spans and every per-leaf fit is a
-     prefix-sum range reduction (see utils/segments.py);
-  3. batched per-leaf fits over overlap-augmented spans
-     (two_layer.rs:52-82 semantics);
-  4. lower-bound correction (lower_bound_correction.rs:83-162) via
-     cumulative min/max fills and run-length analysis;
-  5. empty-leaf constant patching (two_layer.rs:182-202);
-  6. error sweep + epsilon probes + duplicate-run inflation
-     (two_layer.rs:205-259) and the exact error metrics
-     (two_layer.rs:266-287).
+  stage A  fixdups + top-model fit + leaf assignment;
+  stage B  batched per-leaf fits over overlap-augmented spans
+           (two_layer.rs:52-82 semantics) + lower-bound-correction
+           fills (lower_bound_correction.rs) + empty-leaf patching
+           (two_layer.rs:182-202);
+  stage C  error sweep + duplicate-run inflation + epsilon probes and
+           the exact error metrics (two_layer.rs:205-287).
+
+Memory rules (see also the lane-padding note in utils/segments.py):
+per-key integer arrays are int32 (row counts are < 2^31), per-key
+float arrays are f64 but transient within a stage, and nothing with a
+small trailing dimension materializes at n scale.
 
 Float-key models fit and predict in the NORMALIZED key domain
 x' = (x - key_min) * (1 / key_span): per-leaf moments then never form
@@ -74,23 +75,23 @@ def predict_top_assignment(mdef, params, keys, xn, xraw, bound):
     return predict_clamped(mdef.predict(params, None, xf), bound)
 
 
-def lower_bound_pieces(spans: seg.Spans, keys, yfix, key_type: KeyType):
-    """Vectorized LowerBoundCorrection (lower_bound_correction.rs).
+def _fixdups_i32(keys):
+    """First-occurrence index per element as int32 (FixDups,
+    models/mod.rs:143-185)."""
+    n = keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    changed = jnp.concatenate(
+        [jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    return jax.lax.cummax(jnp.where(changed, idx, 0))
 
-    Returns (next_idx, next_key, prev_key, longest_run):
-      next_idx[j]/next_key[j] — index/key of the first key of the first
-        non-empty leaf after j, or (n, T::MAX) (rs:30-56);
-      prev_key[j] — last key of the last non-empty leaf before j, or 0
-        (rs:58-80);
-      longest_run[j] — longest duplicate-key run among runs in leaf j,
-        excluding the array's final run, which the reference never
-        flushes (rs:101-125).
-    """
+
+def lower_bound_fills(spans: seg.Spans, keys, key_type: KeyType):
+    """next/prev leaf fills of LowerBoundCorrection
+    (lower_bound_correction.rs:30-80) — [B]-sized only."""
     n, B = spans.n, spans.B
     big = jnp.int64(n + 1)
 
     first_val = jnp.where(spans.nonempty, spans.starts, big)
-    # next[j] = min over j' > j of first_val[j']
     suffix_min = jax.lax.cummin(first_val[::-1])[::-1]
     next_start = jnp.concatenate([suffix_min[1:],
                                   jnp.full((1,), big, jnp.int64)])
@@ -108,22 +109,22 @@ def lower_bound_pieces(spans: seg.Spans, keys, yfix, key_type: KeyType):
     has_prev_leaf = prev_last >= 0
     prev_key = jnp.where(has_prev_leaf, keys[jnp.clip(prev_last, 0, None)],
                          jnp.asarray(key_type.zero_value, dtype=keys.dtype))
+    return next_idx, next_key, prev_key
 
-    # duplicate runs: start/end index of the run containing each key.
-    idx = jnp.arange(n, dtype=jnp.int64)
-    changed = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+
+def _run_lengths_i32(keys, n):
+    """Per-key duplicate-run length, 0 for the array's FINAL run (the
+    reference never flushes it, lower_bound_correction.rs:104-125)."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    changed = jnp.concatenate([jnp.ones((1,), bool),
+                               keys[1:] != keys[:-1]])
     run_start = jax.lax.cummax(jnp.where(changed, idx, 0))
     ends_run = jnp.concatenate([keys[1:] != keys[:-1],
                                 jnp.ones((1,), bool)])
     run_end = jax.lax.cummin(
-        jnp.where(ends_run, idx, jnp.int64(n - 1))[::-1])[::-1]
+        jnp.where(ends_run, idx, jnp.int32(n - 1))[::-1])[::-1]
     run_len = run_end - run_start + 1
-    # the final run is never recorded (rs:104-125 has no post-loop flush)
-    counted = jnp.where(run_end < n - 1, run_len, 0)
-
-    # per-key run lengths are reduced together with the error sweep in
-    # one fused segment_max (scatters cost ~30ns/element on TPU)
-    return next_idx, next_key, prev_key, counted
+    return jnp.where(run_end < n - 1, run_len, 0)
 
 
 def _error_between(pred_i, target_i, n):
@@ -137,37 +138,48 @@ def _as_dict(params):
     return params if isinstance(params, dict) else {"w": params}
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("top_type", "leaf_type", "B", "key_type"))
-def _train_core(keys, yfix, kminf, s, *, top_type: str, leaf_type: str,
-                B: int, key_type: KeyType):
+# ---------------------------------------------------------------------------
+# stage A: fixdups + top fit + assignment
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("top_type", "B", "key_type"))
+def _stage_assign(keys, kminf, s, *, top_type: str, B: int,
+                  key_type: KeyType):
     n = keys.shape[0]
     mtop = get_model(top_type)
-    mleaf = get_model(leaf_type)
-
     xraw = keymod.as_float(keys)
     xn = (xraw - kminf) * s
+    yfix = _fixdups_i32(keys)
     yfix_f = yfix.astype(jnp.float64)
     sf = float(B) / float(n)   # two_layer.rs:109
     ys_scaled = _scale_targets(yfix_f, sf)
-    # RMITrainingData::get bypasses FixDups: raw offsets, scaled.
     ep_ys = _scale_targets(jnp.arange(n, dtype=jnp.float64), sf)
 
     top_in = model_float_input(mtop, xn, xraw)
     top_params = _as_dict(mtop.fit_top(
         keys_f=top_in, ys_f=ys_scaled, ep_ys_f=ep_ys, n=n, keys=keys,
         B=B, scale=sf, xf_raw=xraw))
-
     t64 = predict_top_assignment(mtop, top_params, keys, xn, xraw, B - 1)
-    t = t64.astype(jnp.int32)
+    return yfix, top_params, t64.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# stage B: leaf fits + LB fills + patching
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("leaf_type", "B", "key_type"))
+def _stage_fit(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
+               key_type: KeyType):
+    n = keys.shape[0]
+    mleaf = get_model(leaf_type)
+    xraw = keymod.as_float(keys)
+    xn = (xraw - kminf) * s
     spans = seg.make_spans(t, B)
-
     leaf_in = model_float_input(mleaf, xn, xraw)
-    leaf_params = _as_dict(mleaf.fit_leaves(leaf_in, yfix_f, spans,
-                                            leaf_in, xf_raw=xraw))
-
-    next_idx, next_key, prev_key, run_counted = lower_bound_pieces(
-        spans, keys, yfix, key_type)
+    leaf_params = _as_dict(mleaf.fit_leaves(leaf_in,
+                                            yfix.astype(jnp.float64),
+                                            spans, leaf_in, xf_raw=xraw))
+    next_idx, next_key, prev_key = lower_bound_fills(spans, keys, key_type)
 
     # empty-leaf constant patch (two_layer.rs:182-202) — the reference's
     # loop covers 0..B-1 EXCLUSIVE, so the final leaf is never patched.
@@ -179,17 +191,38 @@ def _train_core(keys, yfix, kminf, s, *, top_type: str, leaf_type: str,
                                      leaf_params["w"])
     else:
         patch = jnp.zeros((B,), dtype=bool)
+    return (leaf_params, patch, next_idx, next_key, prev_key,
+            spans.starts, spans.ends, spans.nonempty)
 
-    # error sweep (two_layer.rs:205-217).  Reductions stay 1-D: [n, k]
-    # intermediates lane-pad k->128 on TPU and explode memory.
+
+# ---------------------------------------------------------------------------
+# stage C: error sweep + probes + metrics
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("leaf_type", "B", "key_type"))
+def _stage_sweep(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
+                 starts, ends, nonempty, kminf, s, *, leaf_type: str,
+                 B: int, key_type: KeyType):
+    n = keys.shape[0]
+    mleaf = get_model(leaf_type)
+    xraw = keymod.as_float(keys)
+    xn = (xraw - kminf) * s
+    leaf_in = model_float_input(mleaf, xn, xraw)
+
+    # error sweep (two_layer.rs:205-217); int32 per-key arrays (n < 2^31)
     t_idx = None if B == 1 else t
-    pred = predict_clamped(mleaf.predict(leaf_params, t_idx, leaf_in), n)
+    pred_f = mleaf.predict(leaf_params, t_idx, leaf_in)
+    p = jnp.floor(pred_f)
+    p = jnp.where(jnp.isnan(p), 0.0, jnp.clip(p, 0.0, jnp.float64(n)))
+    pred = p.astype(jnp.int32)
     err = _error_between(pred, jnp.minimum(yfix, n), n)
-    max_err = seg.segment_max_sorted(err, t, B, fill=0,
-                                     nonempty=spans.nonempty)
+    max_err = seg.segment_max_sorted(err, t, B, fill=0, nonempty=nonempty
+                                     ).astype(jnp.int64)
+    run_counted = _run_lengths_i32(keys, n)
     longest_run = seg.segment_max_sorted(run_counted, t, B, fill=0,
-                                         nonempty=spans.nonempty)
-    cnt = spans.ends - spans.starts
+                                         nonempty=nonempty
+                                         ).astype(jnp.int64)
+    cnt = ends - starts
 
     # epsilon probes (two_layer.rs:226-259)
     def probe_input(probe_keys):
@@ -220,22 +253,17 @@ def _train_core(keys, yfix, kminf, s, *, top_type: str, leaf_type: str,
     model_max_error = jnp.max(final_err)
     # Rust max_by_key returns the LAST maximal element.
     model_max_error_idx = (B - 1) - jnp.argmax(final_err[::-1])
-    model_avg_error = jnp.sum(cnt_f * err_f) / nf
-    model_avg_l2_error = jnp.sum((cnt_f * err_f) ** 2 / nf)
-    model_avg_log2_error = jnp.sum(
-        cnt_f * jnp.log2(2.0 * err_f + 2.0)) / nf
-    model_max_log2_error = jnp.log2(model_max_error.astype(jnp.float64))
-
     metrics = {
         "model_max_error": model_max_error.astype(jnp.uint64),
         "model_max_error_idx": model_max_error_idx,
-        "model_avg_error": model_avg_error,
-        "model_avg_l2_error": model_avg_l2_error,
-        "model_avg_log2_error": model_avg_log2_error,
-        "model_max_log2_error": model_max_log2_error,
+        "model_avg_error": jnp.sum(cnt_f * err_f) / nf,
+        "model_avg_l2_error": jnp.sum((cnt_f * err_f) ** 2 / nf),
+        "model_avg_log2_error":
+            jnp.sum(cnt_f * jnp.log2(2.0 * err_f + 2.0)) / nf,
+        "model_max_log2_error":
+            jnp.log2(model_max_error.astype(jnp.float64)),
     }
-    return (top_params, leaf_params, patch, next_idx,
-            final_err.astype(jnp.uint64), metrics)
+    return final_err.astype(jnp.uint64), metrics
 
 
 def norm_constants(keys, key_type: KeyType) -> Tuple[float, float]:
@@ -247,16 +275,31 @@ def norm_constants(keys, key_type: KeyType) -> Tuple[float, float]:
     return kmin, (1.0 / span if span > 0 else 1.0)
 
 
-def train_two_layer(keys, key_type: KeyType, yfix, top_type: str,
+def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,
                     leaf_type: str, B: int):
     """Train a 2-layer RMI.  Returns device (normalized-domain) params,
     patch info for raw conversion, per-leaf errors, host metrics and
-    the normalization constants."""
+    the normalization constants.
+
+    (FixDups positions are computed on device in stage A; the third
+    parameter is kept for signature compatibility and ignored.)
+    """
     validate_spec([top_type, leaf_type])
+    if keys.shape[0] >= 2**31:
+        raise ValueError("single-chip builds support < 2^31 rows; "
+                         "shard larger arrays (rmi_tpu.parallel)")
     kminf, s = norm_constants(keys, key_type)
-    top_params, leaf_params, patch, next_idx, leaf_errors, metrics = \
-        _train_core(keys, yfix, jnp.float64(kminf), jnp.float64(s),
-                    top_type=top_type, leaf_type=leaf_type, B=int(B),
-                    key_type=key_type)
+    kd, sd = jnp.float64(kminf), jnp.float64(s)
+    B = int(B)
+
+    yfix, top_params, t = _stage_assign(
+        keys, kd, sd, top_type=top_type, B=B, key_type=key_type)
+    (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
+     nonempty) = _stage_fit(
+        keys, yfix, t, kd, sd, leaf_type=leaf_type, B=B, key_type=key_type)
+    leaf_errors, metrics = _stage_sweep(
+        keys, yfix, t, {"w": leaf_params["w"]}, next_idx, next_key,
+        prev_key, starts, ends, nonempty, kd, sd, leaf_type=leaf_type,
+        B=B, key_type=key_type)
     return (top_params, leaf_params, patch, next_idx, leaf_errors,
             metrics, kminf, s)
