@@ -55,6 +55,10 @@ def gen_books_like(n: int, seed: int = 42):
 def main():
     t_start = time.time()
     import jax
+
+    prof_dir = os.environ.get("RMI_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     import jax.numpy as jnp
     from rmi_tpu.data import RMIDataset
     from rmi_tpu.keys import KeyType
@@ -142,6 +146,8 @@ def main():
         "n_keys": n,
         "total_wall_s": time.time() - t_start,
     }
+    if prof_dir:
+        jax.profiler.stop_trace()
     print(json.dumps(out), flush=True)
 
 

@@ -103,7 +103,16 @@ def main(argv=None) -> int:
     num_rows = data.n
 
     if args.optimize:
-        results = find_pareto_efficient_configs(data, 10)
+        done = [0]
+
+        def progress(stat):
+            done[0] += 1
+            log.info("measured %-24s B=%-8d avg_log2=%.4f  (%d done)",
+                     stat.models, stat.branching_factor,
+                     stat.average_log2_error, done[0])
+
+        results = find_pareto_efficient_configs(data, 10,
+                                                progress=progress)
         print(display_table(results))
         prefix = args.namespace or os.path.basename(args.input)
         specs = [r.to_grid_spec(f"{prefix}_{i}")
@@ -121,7 +130,9 @@ def main(argv=None) -> int:
                     c.get("namespace")) for c in grid]
         log.info("# RMIs to train: %d", len(to_test))
         results = []
-        for models, bf, ns in to_test:
+        for i, (models, bf, ns) in enumerate(to_test):
+            log.info("[%d/%d] training %s %d", i + 1, len(to_test),
+                     models, bf)
             trained = train(data, models, bf)
             if args.zero_build_time:
                 trained.build_time = 0
