@@ -52,13 +52,8 @@ def gen_books_like(n: int, seed: int = 42):
     return keys
 
 
-def main():
-    t_start = time.time()
+def run(n, t_start):
     import jax
-
-    prof_dir = os.environ.get("RMI_PROFILE")
-    if prof_dir:
-        jax.profiler.start_trace(prof_dir)
     import jax.numpy as jnp
     from rmi_tpu.data import RMIDataset
     from rmi_tpu.keys import KeyType
@@ -66,7 +61,6 @@ def main():
     from rmi_tpu.lookup import search, lookup
     from rmi_tpu.serialize import rmi_size
 
-    n = int(os.environ.get("RMI_BENCH_N", 200_000_000))
     branch = int(os.environ.get("RMI_BENCH_BRANCH", 262144))
     spec = os.environ.get("RMI_BENCH_CONFIG", "cubic,linear")
     nq = int(os.environ.get("RMI_BENCH_QUERIES", 1 << 22))
@@ -146,9 +140,33 @@ def main():
         "n_keys": n,
         "total_wall_s": time.time() - t_start,
     }
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    t_start = time.time()
+    import jax
+
+    prof_dir = os.environ.get("RMI_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+
+    # The tunneled compiler occasionally rejects the largest problem
+    # sizes (payload limits / compiler OOM); fall back by halving so the
+    # driver always records a result.
+    n = int(os.environ.get("RMI_BENCH_N", 200_000_000))
+    while True:
+        try:
+            run(n, t_start)
+            break
+        except Exception as e:  # noqa: BLE001 — report, shrink, retry
+            log(f"bench failed at n={n}: {type(e).__name__}: "
+                f"{str(e)[:200]}")
+            if n <= 25_000_000:
+                raise
+            n //= 2
     if prof_dir:
         jax.profiler.stop_trace()
-    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
