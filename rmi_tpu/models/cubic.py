@@ -37,10 +37,11 @@ def cubic_predict(params, leaf_idx, keys_f):
     if leaf_idx is None:
         a, b, c, d = (params[0, 0], params[0, 1], params[0, 2], params[0, 3])
     else:
-        a = jnp.take(params[:, 0], leaf_idx)
-        b = jnp.take(params[:, 1], leaf_idx)
-        c = jnp.take(params[:, 2], leaf_idx)
-        d = jnp.take(params[:, 3], leaf_idx)
+        from rmi_tpu.utils.segments import iso_take
+        a = iso_take(params[:, 0], leaf_idx)
+        b = iso_take(params[:, 1], leaf_idx)
+        c = iso_take(params[:, 2], leaf_idx)
+        d = iso_take(params[:, 3], leaf_idx)
     v1 = a * keys_f + b
     v2 = v1 * keys_f + c
     v3 = v2 * keys_f + d

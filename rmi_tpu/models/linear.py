@@ -123,8 +123,9 @@ def _linear_predict(params, leaf_idx, keys_f):
     else:
         # column-wise 1-D gathers: an [n, ppm] gather output would be
         # lane-padded ppm->128 by TPU tiling
-        alpha = jnp.take(params[:, 0], leaf_idx)
-        beta = jnp.take(params[:, 1], leaf_idx)
+        from rmi_tpu.utils.segments import iso_take
+        alpha = iso_take(params[:, 0], leaf_idx)
+        beta = iso_take(params[:, 1], leaf_idx)
     return beta * keys_f + alpha
 
 

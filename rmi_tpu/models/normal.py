@@ -52,9 +52,10 @@ def _normal_predict(params, leaf_idx, keys_f):
     if leaf_idx is None:
         mean, stdev, scale = params[0, 0], params[0, 1], params[0, 2]
     else:
-        mean = jnp.take(params[:, 0], leaf_idx)
-        stdev = jnp.take(params[:, 1], leaf_idx)
-        scale = jnp.take(params[:, 2], leaf_idx)
+        from rmi_tpu.utils.segments import iso_take
+        mean = iso_take(params[:, 0], leaf_idx)
+        stdev = iso_take(params[:, 1], leaf_idx)
+        scale = iso_take(params[:, 2], leaf_idx)
     return phi((keys_f - mean) / stdev) * scale
 
 
@@ -93,9 +94,10 @@ def _lognormal_predict(params, leaf_idx, keys_f):
     if leaf_idx is None:
         mean, stdev, scale = params[0, 0], params[0, 1], params[0, 2]
     else:
-        mean = jnp.take(params[:, 0], leaf_idx)
-        stdev = jnp.take(params[:, 1], leaf_idx)
-        scale = jnp.take(params[:, 2], leaf_idx)
+        from rmi_tpu.utils.segments import iso_take
+        mean = iso_take(params[:, 0], leaf_idx)
+        stdev = iso_take(params[:, 1], leaf_idx)
+        scale = iso_take(params[:, 2], leaf_idx)
     # fmax(0.0, log(inp)) — Rust f64::max maps NaN to 0.0 (normal.rs:166)
     raw = jnp.log(keys_f)
     lnx = jnp.where(jnp.isnan(raw), 0.0, jnp.maximum(raw, 0.0))

@@ -142,9 +142,8 @@ def _as_dict(params):
 # stage A: fixdups + top fit + assignment
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("top_type", "B", "key_type"))
-def _stage_assign(keys, kminf, s, *, top_type: str, B: int,
-                  key_type: KeyType):
+def _assign_body(keys, kminf, s, *, top_type: str, B: int,
+                 key_type: KeyType):
     n = keys.shape[0]
     mtop = get_model(top_type)
     xraw = keymod.as_float(keys)
@@ -167,9 +166,8 @@ def _stage_assign(keys, kminf, s, *, top_type: str, B: int,
 # stage B: leaf fits + LB fills + patching
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("leaf_type", "B", "key_type"))
-def _stage_fit(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
-               key_type: KeyType):
+def _fit_body(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
+              key_type: KeyType):
     n = keys.shape[0]
     mleaf = get_model(leaf_type)
     xraw = keymod.as_float(keys)
@@ -199,10 +197,9 @@ def _stage_fit(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
 # stage C: error sweep + probes + metrics
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("leaf_type", "B", "key_type"))
-def _stage_sweep(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
-                 starts, ends, nonempty, kminf, s, *, leaf_type: str,
-                 B: int, key_type: KeyType):
+def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
+                starts, ends, nonempty, kminf, s, *, leaf_type: str,
+                B: int, key_type: KeyType):
     n = keys.shape[0]
     mleaf = get_model(leaf_type)
     xraw = keymod.as_float(keys)
@@ -266,6 +263,34 @@ def _stage_sweep(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
     return final_err.astype(jnp.uint64), metrics
 
 
+_stage_assign = functools.partial(jax.jit, static_argnames=(
+    "top_type", "B", "key_type"))(_assign_body)
+_stage_fit = functools.partial(jax.jit, static_argnames=(
+    "leaf_type", "B", "key_type"))(_fit_body)
+_stage_sweep = functools.partial(jax.jit, static_argnames=(
+    "leaf_type", "B", "key_type"))(_sweep_body)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_type", "leaf_type", "B", "key_type"))
+def _train_core_mono(keys, kminf, s, *, top_type: str, leaf_type: str,
+                     B: int, key_type: KeyType):
+    """Whole build as ONE program — the default: the tunneled TPU
+    compiler handles this graph shape reliably, and XLA can overlap
+    phases.  The staged path (RMI_BUILD_STAGED=1) trades that for
+    lower peak HBM at the largest n."""
+    yfix, top_params, t = _assign_body(keys, kminf, s, top_type=top_type,
+                                       B=B, key_type=key_type)
+    (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
+     nonempty) = _fit_body(keys, yfix, t, kminf, s, leaf_type=leaf_type,
+                           B=B, key_type=key_type)
+    leaf_errors, metrics = _sweep_body(
+        keys, yfix, t, {"w": leaf_params["w"]}, next_idx, next_key,
+        prev_key, starts, ends, nonempty, kminf, s, leaf_type=leaf_type,
+        B=B, key_type=key_type)
+    return (top_params, leaf_params, patch, next_idx, leaf_errors, metrics)
+
+
 def norm_constants(keys, key_type: KeyType) -> Tuple[float, float]:
     """(offset, scale) of the normalized key domain for a sorted array:
     x' = (x - offset) * scale, mapping [min, max] onto [0, 1]."""
@@ -292,14 +317,22 @@ def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,
     kd, sd = jnp.float64(kminf), jnp.float64(s)
     B = int(B)
 
-    yfix, top_params, t = _stage_assign(
-        keys, kd, sd, top_type=top_type, B=B, key_type=key_type)
-    (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
-     nonempty) = _stage_fit(
-        keys, yfix, t, kd, sd, leaf_type=leaf_type, B=B, key_type=key_type)
-    leaf_errors, metrics = _stage_sweep(
-        keys, yfix, t, {"w": leaf_params["w"]}, next_idx, next_key,
-        prev_key, starts, ends, nonempty, kd, sd, leaf_type=leaf_type,
-        B=B, key_type=key_type)
+    import os
+    if os.environ.get("RMI_BUILD_STAGED") == "1":
+        yfix, top_params, t = _stage_assign(
+            keys, kd, sd, top_type=top_type, B=B, key_type=key_type)
+        (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
+         nonempty) = _stage_fit(
+            keys, yfix, t, kd, sd, leaf_type=leaf_type, B=B,
+            key_type=key_type)
+        leaf_errors, metrics = _stage_sweep(
+            keys, yfix, t, {"w": leaf_params["w"]}, next_idx, next_key,
+            prev_key, starts, ends, nonempty, kd, sd, leaf_type=leaf_type,
+            B=B, key_type=key_type)
+    else:
+        (top_params, leaf_params, patch, next_idx, leaf_errors,
+         metrics) = _train_core_mono(
+            keys, kd, sd, top_type=top_type, leaf_type=leaf_type, B=B,
+            key_type=key_type)
     return (top_params, leaf_params, patch, next_idx, leaf_errors,
             metrics, kminf, s)

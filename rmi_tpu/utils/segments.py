@@ -27,6 +27,17 @@ import jax
 import jax.numpy as jnp
 
 
+def iso_take(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Sorted-index gather [B] -> [n], fusion-isolated.
+
+    Compiler finding baked in: the ``indices_are_sorted=True`` hint
+    SEGFAULTS the tunneled TPU compiler when the gather meets
+    cumulative-sum producers — the indices being ACTUALLY sorted is
+    what matters for speed, not the hint.  Plain take only.
+    """
+    return jnp.take(table, idx)
+
+
 def prefix_sum_exclusive(values: jax.Array) -> jax.Array:
     """[n] -> [n+1] with out[i] = sum(values[:i]) (f64 accumulate)."""
     c = jnp.cumsum(values.astype(jnp.float64))
@@ -99,8 +110,8 @@ def aug_centered_moments(spans: Spans, x: jax.Array, y: jax.Array,
         # NOTE: gathers stay 1-D — [n, k] intermediates are lane-padded
         # k->128 by TPU tiling (64x memory) and must never materialize
         # at n scale.
-        mx_t = jnp.take(mean_x, spans.t, indices_are_sorted=True)
-        my_t = jnp.take(mean_y, spans.t, indices_are_sorted=True)
+        mx_t = iso_take(mean_x, spans.t)
+        my_t = iso_take(mean_y, spans.t)
     dx = x - mx_t
     dxx = dx * dx
     dxy = dx * (y - my_t)
