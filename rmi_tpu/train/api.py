@@ -78,29 +78,25 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
 
     (top_params, leaf_params, patch, next_idx, leaf_errors, metrics,
      kminf, s) = two_layer.train_two_layer(
-        data.keys, data.key_type, data.positions.astype(jnp.int64),
-        top_type, leaf_type, branch_factor)
+        data.keys, data.key_type, None, top_type, leaf_type,
+        branch_factor)
 
-    # force completion so build_time covers the actual work
-    jax.block_until_ready(leaf_errors)
-    m = {k: np.asarray(v) for k, v in metrics.items()}
+    # one batched host transfer: metrics + everything raw-parameter
+    # conversion needs (per-transfer round trips cost ~30ms each on the
+    # tunneled device)
+    host = jax.device_get((metrics, leaf_params.get("w"),
+                           leaf_params.get("aux"), patch, next_idx,
+                           {k: v for k, v in top_params.items()
+                            if k != "aux"}, top_params.get("aux")))
+    (m, leaf_w_np, leaf_aux, patch_np, next_idx_np, top_np,
+     top_aux) = host
     build_time = time.monotonic_ns() - start
 
     # raw-domain parameters for the artifact (host, true f64)
-    leaf_aux = {k: np.asarray(v)
-                for k, v in leaf_params.get("aux", {}).items()} \
-        if isinstance(leaf_params, dict) and "aux" in leaf_params else None
     raw_leaf = convert.raw_leaf_params(
-        leaf_type, leaf_params["w"], leaf_aux,
-        np.asarray(patch), np.asarray(next_idx).astype(np.float64),
-        kminf, s)
-    top_aux = {k: np.asarray(v)
-               for k, v in top_params.get("aux", {}).items()} \
-        if "aux" in top_params else None
-    raw_top = convert.raw_top_params(
-        top_type,
-        {k: v for k, v in top_params.items() if k != "aux"},
-        top_aux, kminf, s)
+        leaf_type, leaf_w_np, leaf_aux, patch_np,
+        np.asarray(next_idx_np).astype(np.float64), kminf, s)
+    raw_top = convert.raw_top_params(top_type, top_np, top_aux, kminf, s)
 
     return TrainedRMI(
         models=model_spec,
