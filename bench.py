@@ -165,6 +165,14 @@ def main():
             if n <= 25_000_000:
                 raise
             n //= 2
+            # drop traceback frames so the failed attempt's device
+            # arrays actually free before the retry allocates
+            import gc
+            import sys as _sys
+            _sys.last_traceback = None
+            e.__traceback__ = None
+            del e
+            gc.collect()
     if prof_dir:
         jax.profiler.stop_trace()
 

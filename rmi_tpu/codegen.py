@@ -198,10 +198,21 @@ def generate_cpp(namespace: str, rmi, out_dir: str = ".",
     ]
 
     # ---------------- data header -----------------
+    def dbl(val: float) -> str:
+        # non-finite params arise only from degenerate fits (e.g. the
+        # reference's empty-normal scale = -inf, normal.rs:29)
+        if val != val:
+            return "NAN"
+        if val == float("inf"):
+            return "INFINITY"
+        if val == float("-inf"):
+            return "-INFINITY"
+        return repr(val)
+
     data_lines = [f"namespace {namespace} {{"]
     for name, (ctype, val) in zip(const_names, consts):
         if ctype == "double":
-            data_lines.append(f"const double {name} = {val!r};")
+            data_lines.append(f"const double {name} = {dbl(val)};")
         else:
             data_lines.append(f"const {ctype} {name} = {val}ULL;")
     loads, frees = [], []

@@ -194,16 +194,35 @@ def get_plan(rmi) -> SearchPlan:
     return plan
 
 
+# Row gathers materialize [chunk, 128] blocks (1KB/query); cap the
+# per-dispatch chunk so transients stay ~2GB even beside a 200M-key
+# plan.  Equal-sized chunks reuse one compilation.
+MAX_CHUNK = 1 << 21
+
+
 def fast_search(rmi, queries):
     """Drop-in exact lower-bound search using the row-resolve path.
     Requires leaf errors and the trained key array on the rmi."""
     plan = get_plan(rmi)
     queries = jnp.asarray(queries)
-    return _fast_search(
-        queries, rmi.device_top_params, plan.packed_rows,
-        jnp.float64(rmi.norm_offset),
-        jnp.float64(rmi.norm_scale), tuple(plan.levels),
-        top_type=rmi.top_type, leaf_type=rmi.leaf_type,
-        B=rmi.branching_factor, n=rmi.num_rmi_rows,
-        key_type=rmi.key_type, K=plan.K,
-        level_lens=tuple(plan.level_lens))
+
+    def dispatch(q):
+        return _fast_search(
+            q, rmi.device_top_params, plan.packed_rows,
+            jnp.float64(rmi.norm_offset),
+            jnp.float64(rmi.norm_scale), tuple(plan.levels),
+            top_type=rmi.top_type, leaf_type=rmi.leaf_type,
+            B=rmi.branching_factor, n=rmi.num_rmi_rows,
+            key_type=rmi.key_type, K=plan.K,
+            level_lens=tuple(plan.level_lens))
+
+    m = queries.shape[0]
+    if m <= MAX_CHUNK:
+        return dispatch(queries)
+    pad = (-m) % MAX_CHUNK
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[-1:], (pad,))])
+    parts = [dispatch(queries[i:i + MAX_CHUNK])
+             for i in range(0, queries.shape[0], MAX_CHUNK)]
+    return jnp.concatenate(parts)[:m]
