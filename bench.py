@@ -90,7 +90,7 @@ def run(n, t_start):
         f"size={rmi_size(res)}")
 
     # correctness sample: bound contract on every 97th key
-    sample = ds.keys[:: max(1, n // 2_000_000)]
+    sample = ds.keys[:: max(1, n // 1_000_000)]
     g, e = lookup(res, sample)
     true_lb = jnp.searchsorted(ds.keys, sample, side="left")
     viol = int(jnp.sum(jnp.abs(g - true_lb.astype(jnp.int64))
@@ -172,6 +172,8 @@ def main():
             _sys.last_traceback = None
             e.__traceback__ = None
             del e
+            gc.collect()
+            jax.clear_caches()
             gc.collect()
     if prof_dir:
         jax.profiler.stop_trace()
