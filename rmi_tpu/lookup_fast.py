@@ -50,6 +50,16 @@ def _pad_value(dtype):
     return jnp.asarray(np.iinfo(np.dtype(dtype)).max, dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("nrows",))
+def _overlapped_rows_jit(padded, *, nrows: int):
+    # R[i] = [padded[64i:64i+64] | padded[64i+64:64i+128]] via two
+    # reshaped halves — no index matrix (a [nrows,128] int index array
+    # alone would cost 3.2GB at 200M keys)
+    lo = padded[:nrows * STRIDE].reshape(nrows, STRIDE)
+    hi = padded[STRIDE:nrows * STRIDE + STRIDE].reshape(nrows, STRIDE)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
 def _overlapped_rows(level: jax.Array) -> jax.Array:
     """[m] sorted -> [ceil(m/64), 128] rows R[i] = level[64i : 64i+128],
     padded with the maximal key value."""
@@ -58,9 +68,7 @@ def _overlapped_rows(level: jax.Array) -> jax.Array:
     padded_len = nrows * STRIDE + WIDTH
     pad = jnp.full((padded_len - m,), _pad_value(level.dtype), level.dtype)
     padded = jnp.concatenate([level, pad])
-    idx = (jnp.arange(nrows)[:, None] * STRIDE
-           + jnp.arange(WIDTH)[None, :])
-    return padded[idx]
+    return _overlapped_rows_jit(padded, nrows=nrows)
 
 
 _SCALAR_TOPS = ("linear", "robust_linear", "linear_spline", "cubic",
