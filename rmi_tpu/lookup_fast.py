@@ -205,7 +205,7 @@ def get_plan(rmi) -> SearchPlan:
 # Row gathers materialize [chunk, 128] blocks (1KB/query); cap the
 # per-dispatch chunk so transients stay ~2GB even beside a 200M-key
 # plan.  Equal-sized chunks reuse one compilation.
-MAX_CHUNK = 1 << 20
+MAX_CHUNK = 1 << 21
 
 
 def fast_search(rmi, queries):
