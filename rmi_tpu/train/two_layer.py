@@ -213,12 +213,11 @@ def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
     p = jnp.where(jnp.isnan(p), 0.0, jnp.clip(p, 0.0, jnp.float64(n)))
     pred = p.astype(jnp.int32)
     err = _error_between(pred, jnp.minimum(yfix, n), n)
-    max_err = seg.segment_max_sorted(err, t, B, fill=0, nonempty=nonempty
-                                     ).astype(jnp.int64)
+    # scatter-free per-leaf maxima over the contiguous spans
+    max_err = seg.range_max(err, starts, ends, 0).astype(jnp.int64)
     run_counted = _run_lengths_i32(keys, n)
-    longest_run = seg.segment_max_sorted(run_counted, t, B, fill=0,
-                                         nonempty=nonempty
-                                         ).astype(jnp.int64)
+    longest_run = seg.range_max(run_counted, starts, ends,
+                                0).astype(jnp.int64)
     cnt = ends - starts
 
     # epsilon probes (two_layer.rs:226-259)

@@ -217,3 +217,86 @@ def segment_max_sorted(values: jax.Array, t: jax.Array, B: int,
     if out.ndim > nonempty.ndim:
         nonempty = nonempty.reshape(nonempty.shape + (1,) * (out.ndim - 1))
     return jnp.where(nonempty, out, jnp.asarray(fill, dtype=values.dtype))
+
+
+# ---------------------------------------------------------------------------
+# scatter-free range maxima
+# ---------------------------------------------------------------------------
+
+_BLK = 128
+
+
+def _block_maxes(v: jax.Array, fill) -> jax.Array:
+    """[m] -> [ceil(m/128)] per-block maxima (one bandwidth pass)."""
+    m = v.shape[0]
+    pad = (-m) % _BLK
+    if pad:
+        v = jnp.concatenate([v, jnp.full((pad,), fill, v.dtype)])
+    return v.reshape(-1, _BLK).max(axis=1)
+
+
+def range_max(values: jax.Array, starts: jax.Array, ends: jax.Array,
+              fill) -> jax.Array:
+    """max(values[starts[j]:ends[j]]) per range; empty ranges -> fill.
+
+    Scatter-free: per-leaf maxima over contiguous spans via a hierarchy
+    of 128-block maxima.  Each level costs two [B]-row gathers (edge
+    blocks, lane-masked) plus one bandwidth pass to build the next
+    level; the topmost (<=256-element) level resolves by broadcast.
+    Replaces segment_max scatters, which cost ~30ns/element on TPU.
+    """
+    fill_v = jnp.asarray(fill, values.dtype)
+    lanes = jnp.arange(_BLK, dtype=jnp.int32)
+
+    levels = [values]
+    while levels[-1].shape[0] > 256:
+        levels.append(_block_maxes(levels[-1], fill_v))
+
+    out = jnp.full(starts.shape, fill_v, values.dtype)
+    s = starts.astype(jnp.int64)
+    e = ends.astype(jnp.int64)
+
+    for li, V in enumerate(levels):
+        m = V.shape[0]
+        nonempty = s < e
+        if li == len(levels) - 1:
+            # broadcast bottom: [B, m] masked max
+            idx = jnp.arange(m, dtype=jnp.int64)
+            mask = (idx[None, :] >= s[:, None]) & (idx[None, :] < e[:, None])
+            lvl_max = jnp.max(jnp.where(mask, V[None, :], fill_v), axis=1)
+            out = jnp.maximum(out, jnp.where(nonempty, lvl_max, fill_v))
+            break
+
+        nrows = -(-m // _BLK)
+        pad = nrows * _BLK - m
+        Vp = jnp.concatenate([V, jnp.full((pad,), fill_v, V.dtype)]) \
+            if pad else V
+        rows = Vp.reshape(nrows, _BLK)
+
+        row_lo = jnp.clip(s >> 7, 0, nrows - 1)
+        row_hi = jnp.clip((e - 1) >> 7, 0, nrows - 1)
+        lo_start = (s & 127).astype(jnp.int32)
+        hi_end = ((e - 1) & 127).astype(jnp.int32)  # inclusive lane
+
+        blk_lo = rows[row_lo]                      # [B, 128]
+        same_row = row_lo == row_hi
+        lo_mask = lanes[None, :] >= lo_start[:, None]
+        lo_mask &= jnp.where(same_row[:, None],
+                             lanes[None, :] <= hi_end[:, None], True)
+        lo_max = jnp.max(jnp.where(lo_mask & nonempty[:, None],
+                                   blk_lo, fill_v), axis=1)
+
+        blk_hi = rows[row_hi]
+        hi_mask = (lanes[None, :] <= hi_end[:, None]) & ~same_row[:, None]
+        hi_max = jnp.max(jnp.where(hi_mask & nonempty[:, None],
+                                   blk_hi, fill_v), axis=1)
+
+        out = jnp.maximum(out, jnp.maximum(lo_max, hi_max))
+
+        # interior for the next level: blocks strictly between the edges
+        s = row_lo + 1
+        e = row_hi.astype(jnp.int64)
+        e = jnp.where(nonempty, e, 0)
+        s = jnp.where(nonempty, s, 1)
+
+    return out

@@ -173,3 +173,29 @@ def test_radix_predict():
     keys = jnp.asarray([1, 4, 8, 15], dtype=jnp.uint64)
     out = np.asarray(m.predict(params, None, keys))
     np.testing.assert_array_equal(out, [1, 4, 8, 15])
+
+
+def test_range_max_matches_segment_max(rng):
+    from rmi_tpu.utils.segments import range_max
+    for n, B in ((1000, 16), (40000, 64), (70000, 7)):
+        vals = jnp.asarray(rng.integers(0, 10**6, size=n, dtype=np.int64)
+                           .astype(np.int32))
+        t = np.sort(rng.integers(0, B, size=n).astype(np.int32))
+        starts = np.searchsorted(t, np.arange(B))
+        ends = np.append(starts[1:], n)
+        got = np.asarray(range_max(vals, jnp.asarray(starts),
+                                   jnp.asarray(ends), 0))
+        want = np.zeros(B, dtype=np.int32)
+        v = np.asarray(vals)
+        for j in range(B):
+            if starts[j] < ends[j]:
+                want[j] = v[starts[j]:ends[j]].max()
+        np.testing.assert_array_equal(got, want)
+
+
+def test_range_max_edge_cases():
+    from rmi_tpu.utils.segments import range_max
+    v = jnp.asarray(np.asarray([5, 3, 9, 1], dtype=np.int32))
+    got = np.asarray(range_max(v, jnp.asarray([0, 2, 4]),
+                               jnp.asarray([2, 2, 4]), -1))
+    np.testing.assert_array_equal(got, [5, -1, -1])
