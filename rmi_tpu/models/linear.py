@@ -75,9 +75,11 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0):
         use = spans
 
     if weights is None:
+        cx = seg.prefix_sum_exclusive(xf)
+        cy = seg.prefix_sum_exclusive(yf)
         cnt = seg.aug_count(use)
-        sx = seg.aug_sum(use, xf)
-        sy = seg.aug_sum(use, yf)
+        sx = seg.range_sum(xf, use.aug_starts, use.aug_ends, cx)
+        sy = seg.range_sum(yf, use.aug_starts, use.aug_ends, cy)
     else:
         cnt, sx = seg.aug_masked_stats(use, xf, weights)
         _, sy = seg.aug_masked_stats(use, yf, weights)
@@ -86,7 +88,12 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0):
     mean_x = sx / safe_cnt
     mean_y = sy / safe_cnt
 
-    m2, c = seg.aug_centered_moments(use, xf, yf, mean_x, mean_y, weights)
+    if weights is None and use.B > 1:
+        m2, c = seg.aug_centered_moments_expanded(use, xf, yf, mean_x,
+                                                  mean_y, cx, cy)
+    else:
+        m2, c = seg.aug_centered_moments(use, xf, yf, mean_x, mean_y,
+                                         weights)
 
     # beta = cov/var; the (n-1) normalizations cancel (linear.rs:46-55).
     var_zero = m2 <= 0.0

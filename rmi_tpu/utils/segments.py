@@ -300,3 +300,69 @@ def range_max(values: jax.Array, starts: jax.Array, ends: jax.Array,
         s = jnp.where(nonempty, s, 1)
 
     return out
+
+
+def leaf_constant_expand(per_leaf: jax.Array, starts: jax.Array, n: int):
+    """Broadcast a per-leaf f64 value to every element of its span
+    WITHOUT an n-scale gather: scatter boundary deltas, prefix-sum.
+
+    The expanded values equal per_leaf only up to the telescoping-sum
+    rounding (~B ulps); callers must treat them as their own constants
+    and correct against the exact per-leaf values (see
+    aug_centered_moments_expanded).  Returns (expanded [n], at_leaf [B])
+    where at_leaf[j] is the constant actually used within leaf j.
+    """
+    prev = jnp.concatenate([jnp.zeros((1,), per_leaf.dtype), per_leaf[:-1]])
+    delta = per_leaf - prev
+    z = jnp.zeros((n,), per_leaf.dtype)
+    # mode="drop": trailing EMPTY leaves have starts == n; their deltas
+    # must not land on element n-1
+    z = z.at[starts].add(delta, mode="drop")
+    expanded = jnp.cumsum(z)
+    at_leaf = expanded[jnp.clip(starts, 0, n - 1)]
+    return expanded, at_leaf
+
+
+def aug_centered_moments_expanded(spans: Spans, x, y, mean_x, mean_y,
+                                  cx, cy):
+    """(m2, c) like aug_centered_moments but with the per-element leaf
+    means built by delta-scatter + prefix sum instead of two n-scale
+    gathers (~30ns/element each).  Exact up to normal f64 rounding: the
+    interior sums use the expanded constants c', then shift to the true
+    means m via
+        sum (x-m)^2        = S2' + 2 dx (Sx - n c'x) + n dx^2
+        sum (x-m)(y-my)    = C' + dx (Sy - n c'y) + dy (Sx - n c'x)
+                             + n dx dy,        d = c' - m
+    with all shift terms [B]-sized.  ``cx``/``cy`` are cached prefix
+    sums of x and y.  Edge (overlap) contributions use the exact means.
+    """
+    n = spans.n
+    exp_x, cx_leaf = leaf_constant_expand(mean_x, spans.starts, n)
+    exp_y, cy_leaf = leaf_constant_expand(mean_y, spans.starts, n)
+
+    dxe = x - exp_x
+    dye = y - exp_y
+    S2 = range_sum(dxe * dxe, spans.starts, spans.ends)
+    C = range_sum(dxe * dye, spans.starts, spans.ends)
+
+    n_int = (spans.ends - spans.starts).astype(jnp.float64)
+    sx_int = range_sum(x, spans.starts, spans.ends, cx)
+    sy_int = range_sum(y, spans.starts, spans.ends, cy)
+    rx = sx_int - n_int * cx_leaf     # sum (x - c'x) over the interior
+    ry = sy_int - n_int * cy_leaf
+    d_x = cx_leaf - mean_x
+    d_y = cy_leaf - mean_y
+    m2 = S2 + 2.0 * d_x * rx + n_int * d_x * d_x
+    c = C + d_x * ry + d_y * rx + n_int * d_x * d_y
+
+    def edge_terms(idx, present):
+        i = jnp.clip(idx, 0, n - 1)
+        ex = x[i] - mean_x
+        exx = ex * ex
+        exy = ex * (y[i] - mean_y)
+        return (jnp.where(present, exx, 0.0),
+                jnp.where(present, exy, 0.0))
+
+    pxx, pxy = edge_terms(spans.starts - 1, spans.has_prev)
+    nxx, nxy = edge_terms(spans.ends, spans.has_next)
+    return m2 + pxx + nxx, c + pxy + nxy
