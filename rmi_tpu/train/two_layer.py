@@ -138,6 +138,24 @@ def _as_dict(params):
     return params if isinstance(params, dict) else {"w": params}
 
 
+def _leaf_eval_cols(leaf_type: str, cols, x):
+    """Evaluate a float-family leaf from per-key parameter columns."""
+    if leaf_type in ("linear", "robust_linear", "linear_spline"):
+        return cols[1] * x + cols[0]
+    if leaf_type == "loglinear":
+        from rmi_tpu.models.linear import exp1
+        return exp1(cols[1] * x + cols[0])
+    if leaf_type == "cubic":
+        return ((cols[0] * x + cols[1]) * x + cols[2]) * x + cols[3]
+    if leaf_type in ("normal", "lognormal"):
+        from rmi_tpu.models.normal import phi
+        if leaf_type == "lognormal":
+            raw = jnp.log(x)
+            x = jnp.where(jnp.isnan(raw), 0.0, jnp.maximum(raw, 0.0))
+        return phi((x - cols[0]) / cols[1]) * cols[2]
+    raise ValueError(leaf_type)
+
+
 # ---------------------------------------------------------------------------
 # stage A: fixdups + top fit + assignment
 # ---------------------------------------------------------------------------
@@ -207,8 +225,15 @@ def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
     leaf_in = model_float_input(mleaf, xn, xraw)
 
     # error sweep (two_layer.rs:205-217); int32 per-key arrays (n < 2^31)
-    t_idx = None if B == 1 else t
-    pred_f = mleaf.predict(leaf_params, t_idx, leaf_in)
+    if B == 1:
+        pred_f = mleaf.predict(leaf_params, None, leaf_in)
+    else:
+        # exact per-key params via selection-only fill-forward (no
+        # n-scale gather, no value arithmetic)
+        w = leaf_params["w"]
+        cols = seg.fill_forward([w[:, i] for i in range(w.shape[1])],
+                                starts, nonempty, n)
+        pred_f = _leaf_eval_cols(leaf_type, cols, leaf_in)
     p = jnp.floor(pred_f)
     p = jnp.where(jnp.isnan(p), 0.0, jnp.clip(p, 0.0, jnp.float64(n)))
     pred = p.astype(jnp.int32)

@@ -366,3 +366,26 @@ def aug_centered_moments_expanded(spans: Spans, x, y, mean_x, mean_y,
     pxx, pxy = edge_terms(spans.starts - 1, spans.has_prev)
     nxx, nxy = edge_terms(spans.ends, spans.has_next)
     return m2 + pxx + nxx, c + pxy + nxy
+
+
+def fill_forward(values_list, starts, nonempty, n: int):
+    """EXACT piecewise-constant broadcast: element k gets its own
+    leaf's values.  Selection-only segmented scan (keep-last-set
+    combiner) — no arithmetic touches the values, so unlike
+    leaf_constant_expand this is bit-exact and safe for floor-sensitive
+    consumers (the error sweep).  Non-empty leaves have unique start
+    indices, so scatter order is well-defined.
+    """
+    tgt = jnp.where(nonempty, starts, n)   # drop empties out of bounds
+    flags = jnp.zeros((n,), bool).at[tgt].set(True, mode="drop")
+    zs = [jnp.zeros((n,), v.dtype).at[tgt].set(v, mode="drop")
+          for v in values_list]
+
+    def comb(a, b):
+        fa = a[0]
+        fb = b[0]
+        return (fa | fb,) + tuple(
+            jnp.where(fb, vb, va) for va, vb in zip(a[1:], b[1:]))
+
+    out = jax.lax.associative_scan(comb, (flags,) + tuple(zs))
+    return list(out[1:])
