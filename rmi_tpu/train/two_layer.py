@@ -225,15 +225,11 @@ def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
     leaf_in = model_float_input(mleaf, xn, xraw)
 
     # error sweep (two_layer.rs:205-217); int32 per-key arrays (n < 2^31)
-    if B == 1:
-        pred_f = mleaf.predict(leaf_params, None, leaf_in)
-    else:
-        # exact per-key params via selection-only fill-forward (no
-        # n-scale gather, no value arithmetic)
-        w = leaf_params["w"]
-        cols = seg.fill_forward([w[:, i] for i in range(w.shape[1])],
-                                starts, nonempty, n)
-        pred_f = _leaf_eval_cols(leaf_type, cols, leaf_in)
+    # NOTE: an exact fill-forward scan (seg.fill_forward) would avoid
+    # these n-scale gathers, but its associative_scan graph OOM-kills
+    # the tunneled TPU compiler at n >= 100M — column gathers stay.
+    t_idx = None if B == 1 else t
+    pred_f = mleaf.predict(leaf_params, t_idx, leaf_in)
     p = jnp.floor(pred_f)
     p = jnp.where(jnp.isnan(p), 0.0, jnp.clip(p, 0.0, jnp.float64(n)))
     pred = p.astype(jnp.int32)
