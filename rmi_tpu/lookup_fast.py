@@ -28,7 +28,6 @@ size.
 from __future__ import annotations
 
 import functools
-import math
 from typing import List
 
 import jax

@@ -21,8 +21,6 @@ from typing import Callable, Dict, Optional
 
 import jax.numpy as jnp
 
-from rmi_tpu.keys import KeyType
-
 
 class Restriction(enum.Enum):
     # models/mod.rs:724-728

@@ -25,8 +25,6 @@ flagship configurations); the single-chip path covers the full zoo.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

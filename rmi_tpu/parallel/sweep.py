@@ -16,8 +16,6 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import jax
-import numpy as np
-
 from rmi_tpu.data import RMIDataset
 from rmi_tpu.optimizer import RMIStatistics
 from rmi_tpu.serialize import rmi_size

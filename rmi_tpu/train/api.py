@@ -8,13 +8,11 @@ import time
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from rmi_tpu import convert
 from rmi_tpu.data import RMIDataset
 from rmi_tpu.keys import KeyType
-from rmi_tpu.models import get_model
 from rmi_tpu.train import two_layer
 
 

@@ -40,8 +40,7 @@ from __future__ import annotations
 
 import functools
 import sys
-from typing import Dict, Tuple
-
+from typing import Tuple
 import jax
 import jax.numpy as jnp
 

@@ -10,8 +10,6 @@ import textwrap
 import numpy as np
 import pytest
 
-import jax.numpy as jnp
-
 from rmi_tpu.data import RMIDataset, write_sosd_file
 from rmi_tpu.train.api import train, train_bounded
 from rmi_tpu.serialize import save_artifact, rmi_size

@@ -4,8 +4,6 @@ dryrun_multichip must run a full sharded training step."""
 import numpy as np
 
 import jax
-import jax.numpy as jnp
-
 
 def test_entry_jittable():
     import __graft_entry__ as ge

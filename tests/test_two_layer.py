@@ -44,7 +44,6 @@ def device_targets(res, keys):
     """Recompute the device pipeline's leaf assignment in numpy f64
     (normalized domain), to detect floor-boundary flips vs the oracle's
     raw-domain assignment."""
-    import math
     B = res.branching_factor
     off, s = res.norm_offset, res.norm_scale
     x = keys.astype(np.float64)
