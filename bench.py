@@ -147,6 +147,11 @@ def main():
     t_start = time.time()
     import jax
 
+    # honor an explicit CPU request (the container sitecustomize
+    # force-selects the tunneled TPU otherwise) — used by ci.sh
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     prof_dir = os.environ.get("RMI_PROFILE")
     if prof_dir:
         jax.profiler.start_trace(prof_dir)
