@@ -186,12 +186,13 @@ def main(argv=None) -> int:
         # dump the (key, position) pairs routed to one leaf model
         from rmi_tpu.train.two_layer import predict_top_assignment
         from rmi_tpu.models import get_model
-        import jax.numpy as jnp
         from rmi_tpu import keys as keymod
         mtop = get_model(trained.top_type)
-        t = predict_top_assignment(
-            mtop, trained.top_params, data.keys,
-            keymod.as_float(data.keys), trained.branching_factor - 1)
+        xraw = keymod.as_float(data.keys)
+        xn = (xraw - trained.norm_offset) * trained.norm_scale
+        top_p = trained.device_top_params or trained.top_params
+        t = predict_top_assignment(mtop, top_p, data.keys, xn, xraw,
+                                   trained.branching_factor - 1)
         mask = np.asarray(t) == args.dump_ll_model_data
         ks = np.asarray(data.keys)[mask]
         ys = np.asarray(data.positions)[mask]

@@ -1,0 +1,180 @@
+"""Pallas error-sweep kernel: per-key |floor(leaf(x)) - y| without
+per-key HBM gathers.
+
+The XLA sweep (train/two_layer.py stage C) fetches each key's leaf
+parameters with per-key column gathers — ~30ns/element on this TPU,
+the dominant cost of large builds.  This kernel exploits the central
+structural fact of the framework (utils/segments.py): leaf ids over
+the sorted key array are NON-DECREASING, so a block of consecutive
+keys touches a CONTIGUOUS range of leaves.  Per 2048-key block it DMAs
+that parameter range into VMEM once and selects each key's row with a
+one-hot matmul — the whole sweep becomes a streaming pass at a
+measured ~7ns/key (probes/probe_pallas4.py G6), vs ~60+ns/key for the
+gather-based XLA path.
+
+Mosaic facts this design is built on (probes/probe_pallas*.py):
+  * 64-bit types are rejected — everything here is f32/i32, with
+    predictions in explicit float-float (ops/df64.py), the same
+    precision class as XLA's TPU f64 emulation;
+  * in-kernel vector gathers (take_along_axis) miscompile — row
+    selection uses a one-hot matmul at HIGHEST precision, which is
+    EXACTLY correct for finite tables (each one-hot row has a single
+    1.0, exact in bf16, and the bf16x3 decomposition of an f32 is
+    exact);
+  * VMEM slices must be 128-lane aligned — the parameter table is
+    lane-padded to [B, 128] (hi columns 0..ppm, lo columns ppm..2ppm);
+  * manual per-row DMAs cost ~1.5us — only ONE block-level DMA is
+    issued per 2048 keys.
+
+Leaf families covered: linear / robust_linear / linear_spline (shared
+eval), cubic, loglinear.  Others fall back to the XLA sweep, as do
+blocks whose leaf span exceeds the DMA window (``max_block_leaf_span``
+guard — adversarially skewed assignments).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rmi_tpu.ops import df64
+
+KB = 2048          # keys per block (VMEM-fit sweet spot, probe G4-G6)
+SPANS = (64, 256, 1024)   # supported per-block leaf-row windows
+
+PALLAS_SWEEP_LEAVES = ("linear", "robust_linear", "linear_spline",
+                       "cubic", "loglinear")
+
+
+def leaf_eval_df64(leaf_type: str, cols, xh, xl):
+    """df64 leaf eval from hi/lo column pairs.
+
+    ``cols`` maps j -> (hi, lo) f32 arrays for param column j.  The
+    operation order mirrors the reference exactly: linear is
+    fma(beta, x, alpha) (linear.rs:89), cubic is three chained fmas
+    (cubic_spline.rs:144-149), loglinear is exp1(fma(beta, x, alpha))
+    (linear.rs:156-166).
+    """
+    if leaf_type in ("linear", "robust_linear", "linear_spline"):
+        ah, al = cols(0)
+        bh, bl = cols(1)
+        return df64.fma(bh, bl, xh, xl, ah, al)
+    if leaf_type == "cubic":
+        ph, plo = cols(0)
+        for j in (1, 2, 3):
+            ch, cl = cols(j)
+            ph, plo = df64.fma(ph, plo, xh, xl, ch, cl)
+        return ph, plo
+    if leaf_type == "loglinear":
+        ah, al = cols(0)
+        bh, bl = cols(1)
+        vh, vl = df64.fma(bh, bl, xh, xl, ah, al)
+        # exp1(v) = (1 + v/64)^64 (linear.rs:156-166): 6 df64 squarings
+        vh, vl = df64.mul_f32(vh, vl, jnp.float32(1.0 / 64.0))
+        vh, vl = df64.add_f32(vh, vl, jnp.float32(1.0))
+        for _ in range(6):
+            vh, vl = df64.mul(vh, vl, vh, vl)
+        return vh, vl
+    raise ValueError(leaf_type)
+
+
+def _sweep_kernel(blk_lo_ref, xh_ref, xl_ref, y_ref, t_ref, w_ref,
+                  err_ref, wloc_ref, sem, *, leaf_type: str, ppm: int,
+                  n: int, B: int, span: int):
+    g = pl.program_id(0)
+    rows = min(span, B)
+    lo = jnp.minimum(blk_lo_ref[g], jnp.int32(max(B - rows, 0)))
+
+    cp = pltpu.make_async_copy(w_ref.at[pl.ds(lo, rows), :], wloc_ref, sem)
+    cp.start()
+    cp.wait()
+
+    tl = jnp.clip(t_ref[:] - lo, 0, rows - 1)
+    onehot = (tl[:, None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (KB, rows), 1)
+              ).astype(jnp.float32)
+    sel = jax.lax.dot_general(
+        onehot, wloc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)              # [KB, 128]
+
+    def cols(j):
+        return sel[:, j], sel[:, ppm + j]
+
+    ph, plo = leaf_eval_df64(leaf_type, cols, xh_ref[:], xl_ref[:])
+    pred = df64.floor_to_i32(ph, plo, 0, n)               # [0, n]
+    y = jnp.minimum(y_ref[:], jnp.int32(n))
+    err_ref[:] = jnp.abs(pred - y)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("leaf_type", "ppm", "n", "B", "span"))
+def _sweep_call(xh, xl, yfix, t, w_pad, blk_lo, *, leaf_type, ppm, n, B,
+                span):
+    nblocks = xh.shape[0] // KB
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec((KB,), lambda g, b: (g,),
+                                   memory_space=pltpu.VMEM)] * 4 +
+                     [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((KB,), lambda g, b: (g,),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((min(span, B), 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ])
+        kern = functools.partial(_sweep_kernel, leaf_type=leaf_type,
+                                 ppm=ppm, n=n, B=B, span=span)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((nblocks * KB,), jnp.int32),
+            grid_spec=grid_spec,
+        )(blk_lo, xh, xl, yfix, t, w_pad)
+
+
+def pad_param_table(w: jax.Array) -> jax.Array:
+    """[B, ppm] f64 -> [B, 128] f32 (hi cols 0..ppm, lo cols ppm..2ppm)."""
+    wh, wl = df64.from_f64(w)
+    B, ppm = w.shape
+    pad = jnp.zeros((B, 128 - 2 * ppm), jnp.float32)
+    return jnp.concatenate([wh, wl, pad], axis=1)
+
+
+def block_leaf_bounds(t: jax.Array):
+    """(blk_lo [nblocks] i32, max span) for KB-sized blocks of t."""
+    n = t.shape[0]
+    nblocks = -(-n // KB)
+    pad = nblocks * KB - n
+    tp = jnp.concatenate([t, jnp.full((pad,), t[-1], t.dtype)]) if pad else t
+    firsts = tp[::KB].astype(jnp.int32)
+    lasts = tp[KB - 1::KB].astype(jnp.int32)
+    return firsts, jnp.max(lasts - firsts + 1)
+
+
+def sweep_errors(xn, yfix, t, w_pad, blk_lo, *, leaf_type: str, n: int,
+                 B: int, ppm: int, span: int):
+    """Per-key sweep errors via the Pallas kernel -> err [n] i32.
+
+    ``xn`` f64 normalized keys; ``w_pad`` from pad_param_table;
+    ``span`` from SPANS covering block_leaf_bounds' max span (caller
+    falls back to the XLA sweep when none does).
+    """
+    xh, xl = df64.from_f64(xn)
+    nfull = xh.shape[0]
+    pad = (-nfull) % KB
+    if pad:
+        xh = jnp.concatenate([xh, jnp.broadcast_to(xh[-1:], (pad,))])
+        xl = jnp.concatenate([xl, jnp.broadcast_to(xl[-1:], (pad,))])
+        yfix = jnp.concatenate([yfix, jnp.broadcast_to(yfix[-1:], (pad,))])
+        t = jnp.concatenate([t, jnp.broadcast_to(t[-1:], (pad,))])
+    err = _sweep_call(xh, xl, yfix.astype(jnp.int32), t.astype(jnp.int32),
+                      w_pad, blk_lo, leaf_type=leaf_type, ppm=ppm,
+                      n=n, B=B, span=span)
+    return err[:nfull]

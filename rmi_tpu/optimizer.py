@@ -173,11 +173,26 @@ def measure_rmis(data, configs: Sequence[Tuple[str, int]],
 
 
 def find_pareto_efficient_configs(data, restrict: int = 10,
-                                  progress=None) -> List[RMIStatistics]:
-    """The full two-phase sweep (optimizer.rs:233-249)."""
+                                  progress=None,
+                                  reuse_phase1: bool = False
+                                  ) -> List[RMIStatistics]:
+    """The full two-phase sweep (optimizer.rs:233-249).
+
+    ``reuse_phase1=False`` reproduces the reference exactly: the final
+    front is built from phase-2 measurements only, so phase-1 points of
+    qualifying model pairs (skipped by second_phase_configs,
+    optimizer.rs:141-143) never reach the output.  ``reuse_phase1=True``
+    is a strict improvement: phase-1 measurements of qualifying model
+    pairs join the final front pool — same training cost, never a worse
+    front.
+    """
     phase1 = measure_rmis(data, first_phase_configs(), progress)
     phase2 = measure_rmis(data, second_phase_configs(phase1), progress)
-    front = narrow_front(pareto_front(phase2), restrict)
+    pool = list(phase2)
+    if reuse_phase1:
+        qualifying = {r.models for r in pareto_front(phase1)}
+        pool.extend(r for r in phase1 if r.models in qualifying)
+    front = narrow_front(pareto_front(pool), restrict)
     front.sort(key=lambda r: r.average_log2_error)
     return front
 

@@ -337,17 +337,29 @@ def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,
     B = int(B)
 
     import os
-    if os.environ.get("RMI_BUILD_STAGED") == "1":
-        yfix, top_params, t = _stage_assign(
-            keys, kd, sd, top_type=top_type, B=B, key_type=key_type)
-        (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
-         nonempty) = _stage_fit(
-            keys, yfix, t, kd, sd, leaf_type=leaf_type, B=B,
-            key_type=key_type)
-        leaf_errors, metrics = _stage_sweep(
-            keys, yfix, t, {"w": leaf_params["w"]}, next_idx, next_key,
-            prev_key, starts, ends, nonempty, kd, sd, leaf_type=leaf_type,
-            B=B, key_type=key_type)
+    profile = os.environ.get("RMI_PROFILE_BUILD") == "1"
+    if profile or os.environ.get("RMI_BUILD_STAGED") == "1":
+        # Staged path: per-phase HBM release, and (with
+        # RMI_PROFILE_BUILD=1) per-phase wall timing logged to stderr —
+        # the TPU analogue of the reference's RUST_LOG build tracing
+        # (two_layer.rs:108, 261-263).
+        from rmi_tpu.utils.profiling import phase
+        with phase("assign", profile):
+            yfix, top_params, t = _stage_assign(
+                keys, kd, sd, top_type=top_type, B=B, key_type=key_type)
+            jax.block_until_ready(t)
+        with phase("fit", profile):
+            (leaf_params, patch, next_idx, next_key, prev_key, starts,
+             ends, nonempty) = _stage_fit(
+                keys, yfix, t, kd, sd, leaf_type=leaf_type, B=B,
+                key_type=key_type)
+            jax.block_until_ready(leaf_params["w"])
+        with phase("sweep", profile):
+            leaf_errors, metrics = _stage_sweep(
+                keys, yfix, t, {"w": leaf_params["w"]}, next_idx, next_key,
+                prev_key, starts, ends, nonempty, kd, sd,
+                leaf_type=leaf_type, B=B, key_type=key_type)
+            jax.block_until_ready(leaf_errors)
     else:
         (top_params, leaf_params, patch, next_idx, leaf_errors,
          metrics) = _train_core_mono(
