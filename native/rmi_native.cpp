@@ -124,7 +124,8 @@ enum class TopKind {
   kHistogram,
 };
 
-enum class LeafKind { kLinear, kLogLinear, kCubic, kNormal, kLogNormal };
+enum class LeafKind { kLinear, kLogLinear, kCubic, kNormal, kLogNormal,
+                      kRadixTable };
 
 struct Artifact {
   TopKind top;
@@ -143,6 +144,8 @@ struct Artifact {
   std::vector<uint64_t> hist_radix, hist_pivots;
 
   std::vector<uint64_t> leaf_raw;  // stride = ppm (+1 if has_err)
+  uint64_t leaf_table_bits = 0;    // radix-table leaves: per-leaf
+                                   // [u64 prefix | u32 table | (err)]
 
   bool has_cf = false;
   uint64_t line_size = 0;
@@ -301,14 +304,33 @@ void rmi_lookup_one(const Artifact& a, uint64_t key, uint64_t* guess,
                     uint64_t* err) {
   uint64_t t = top_predict(a, key);
   if (t > a.B - 1) t = a.B - 1;
-  double f = leaf_predict_f(a, t, key);
-  uint64_t g = predict_to_int(f);
-  if (g > a.n - 1) g = a.n - 1;
+  uint64_t g;
   uint64_t e = 0;
-  if (a.has_err) {
-    const uint64_t* row =
-        a.leaf_raw.data() + t * (a.ppm + 1);
-    e = row[a.ppm];
+  if (a.leaf == LeafKind::kRadixTable) {
+    // per-leaf record: u64 prefix, 2^bits u32 table, (u64 max_err)
+    uint64_t size = 1ull << a.leaf_table_bits;
+    size_t rec_bytes = 8 + 4 * size + (a.has_err ? 8 : 0);
+    const char* rec =
+        reinterpret_cast<const char*>(a.leaf_raw.data()) + t * rec_bytes;
+    uint64_t prefix;
+    memcpy(&prefix, rec, 8);
+    const uint32_t* table = reinterpret_cast<const uint32_t*>(rec + 8);
+    uint64_t low = prefix >= 64 ? 0 : ((key << prefix) >> prefix);
+    uint64_t sh = (prefix + a.leaf_table_bits > 64)
+                      ? 0
+                      : 64 - prefix - a.leaf_table_bits;
+    g = table[low >> sh];
+    if (g > a.n - 1) g = a.n - 1;
+    if (a.has_err) memcpy(&e, rec + 8 + 4 * size, 8);
+  } else {
+    double f = leaf_predict_f(a, t, key);
+    g = predict_to_int(f);
+    if (g > a.n - 1) g = a.n - 1;
+    if (a.has_err) {
+      const uint64_t* row =
+          a.leaf_raw.data() + t * (a.ppm + 1);
+      e = row[a.ppm];
+    }
   }
 
   if (a.has_cf) {
@@ -406,6 +428,11 @@ void* rmi_load(const char* meta_path) {
     } else if (leaf == "lognormal") {
       a->leaf = LeafKind::kLogNormal;
       a->ppm = 3;
+    } else if (leaf.rfind("radix", 0) == 0 && leaf != "radix" &&
+               leaf != "bradix") {
+      a->leaf = LeafKind::kRadixTable;
+      a->leaf_table_bits = std::stoull(leaf.substr(5));
+      a->ppm = 0;
     } else
       goto fail;
 

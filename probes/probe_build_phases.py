@@ -43,13 +43,22 @@ def gen_books_like(n, seed=42):
     return k
 
 
-def timed(name, fn, *args, warm=True, iters=3, **kw):
+def _force(out):
+    """Materialize one element of every output leaf — block_until_ready
+    is unreliable over the tunneled device."""
+    leaves = jax.tree_util.tree_leaves(out)
+    for v in leaves:
+        if hasattr(v, "ravel") and v.size:
+            jax.device_get(v.ravel()[0])
+
+
+def timed(name, fn, *args, warm=True, iters=2, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        _force(out)
     dt = (time.time() - t0) / iters
     log(f"{name:45s}: {dt*1e3:9.1f} ms")
     return out, dt
@@ -84,6 +93,13 @@ def main():
         B=B, key_type=key_type)
 
     log(f"total staged: {(dt_a+dt_b+dt_c)*1e3:.1f} ms")
+
+    _, dt_cp = timed(
+        "stage C via Pallas df64 sweep", tl._sweep_pallas,
+        keys, yfix, t, leaf_params["w"], next_idx, next_key, prev_key,
+        starts, ends, kd, sd, leaf_type=leaf_type, B=B,
+        key_type=key_type)
+    log(f"total staged (pallas sweep): {(dt_a+dt_b+dt_cp)*1e3:.1f} ms")
 
     # --- micro: pieces of the sweep ---
     w = leaf_params["w"]

@@ -171,8 +171,22 @@ def generate_cpp(namespace: str, rmi, out_dir: str = ".",
     consts = top_constants(rmi)
     const_names = [f"L0_PARAMETER{i}" for i in range(len(consts))]
 
-    fields = _LEAF_FIELDS[rmi.leaf_type]
-    struct_fields = "".join(f"  double {f};\n" for f in fields)
+    # radix-table LEAF layer: per-leaf [u64 prefix | u32 table | err]
+    # records.  The reference cannot emit correct code for this config
+    # (radix.rs:146-160 bakes one shared prefix into the emitted
+    # function while prefixes are per-leaf); we emit the corrected
+    # per-leaf form and document the divergence.
+    table_leaf_bits = None
+    if rmi.leaf_type.startswith("radix") and rmi.leaf_type not in (
+            "radix", "bradix"):
+        table_leaf_bits = int(rmi.leaf_type[5:])
+        fields = []
+        tsize = 1 << table_leaf_bits
+        struct_fields = (f"  uint64_t prefix;\n"
+                         f"  uint32_t table[{tsize}];\n")
+    else:
+        fields = _LEAF_FIELDS[rmi.leaf_type]
+        struct_fields = "".join(f"  double {f};\n" for f in fields)
     if inc_err:
         struct_fields += "  uint64_t max_err;\n"
 
@@ -234,14 +248,17 @@ def generate_cpp(namespace: str, rmi, out_dir: str = ".",
                       [("L0_TABLE", tbl_bytes, True)]))
         frees.append("L0_TABLE")
 
-    stride = len(fields) + (1 if inc_err else 0)
+    if table_leaf_bits is not None:
+        leaf_bytes = 8 + 4 * (1 << table_leaf_bits) + (8 if inc_err else 0)
+    else:
+        leaf_bytes = (len(fields) + (1 if inc_err else 0)) * 8
     data_lines += [
         "struct __attribute__((packed)) LeafModel {",
         struct_fields + "};",
         "LeafModel* L1_MODELS;",
     ]
     loads.append(("L1", f"{namespace}_L1_PARAMETERS",
-                  [("L1_MODELS", B * stride * 8, True)]))
+                  [("L1_MODELS", B * leaf_bytes, True)]))
     frees.append("L1_MODELS")
 
     if has_cf:
@@ -316,10 +333,22 @@ def generate_cpp(namespace: str, rmi, out_dir: str = ".",
         cpp.append(f"  double tpred = {top_expr};")
         cpp.append(f"  size_t modelIndex = FCLAMP(tpred, {B}.0 - 1.0);")
     cpp.append("  const LeafModel& leaf = L1_MODELS[modelIndex];")
-    cpp.append(f"  double fpred = {_leaf_eval_expr(rmi, fields)};")
-    if inc_err:
-        cpp.append("  *err = leaf.max_err;")
-    cpp.append(f"  return FCLAMP(fpred, {n}.0 - 1.0);")
+    if table_leaf_bits is not None:
+        bits = table_leaf_bits
+        cpp += [
+            "  uint64_t p = leaf.prefix;",
+            "  uint64_t low = p >= 64 ? 0 : (((uint64_t)key << p) >> p);",
+            f"  uint64_t sh = (p + {bits} > 64) ? 0 : 64 - p - {bits};",
+            "  uint64_t ipred2 = leaf.table[low >> sh];",
+        ]
+        if inc_err:
+            cpp.append("  *err = leaf.max_err;")
+        cpp.append(f"  return ipred2 > {n - 1}ULL ? {n - 1}ULL : ipred2;")
+    else:
+        cpp.append(f"  double fpred = {_leaf_eval_expr(rmi, fields)};")
+        if inc_err:
+            cpp.append("  *err = leaf.max_err;")
+        cpp.append(f"  return FCLAMP(fpred, {n}.0 - 1.0);")
     cpp.append("}")
 
     if has_cf:

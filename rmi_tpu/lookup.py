@@ -49,9 +49,14 @@ def _rmi_eval(queries, top_params, leaf_params, leaf_errors, off, s, *,
     xn = (xraw - off) * s
     midx = predict_top_assignment(mtop, top_params, queries, xn, xraw,
                                   B - 1)
-    leaf_in = model_float_input(mleaf, xn, xraw)
-    pred_f = mleaf.predict(leaf_params, midx, leaf_in)
-    guess = predict_clamped(pred_f, n - 1)  # final clamp, codegen.rs:713-717
+    if mleaf.output_int:
+        from rmi_tpu.models import clamp_int
+        guess = clamp_int(mleaf.predict(leaf_params, midx, queries), n - 1)
+    else:
+        leaf_in = model_float_input(mleaf, xn, xraw)
+        pred_f = mleaf.predict(leaf_params, midx, leaf_in)
+        # final clamp, codegen.rs:713-717
+        guess = predict_clamped(pred_f, n - 1)
     if leaf_errors is not None:
         err = leaf_errors[midx].astype(jnp.int64)
     else:
@@ -129,7 +134,57 @@ def _err_iters(rmi) -> int:
     return iters
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_type", "leaf_type", "B", "n", "key_type", "ppm"))
+def _rmi_eval_df64(queries, top_params, w_pad, leaf_errors, off, s, *,
+                   top_type: str, leaf_type: str, B: int, n: int,
+                   key_type: KeyType, ppm: int):
+    """df64-mode eval: the leaf is evaluated with the same float-float
+    Pallas kernel the error sweep used (TrainedRMI.eval_mode)."""
+    from rmi_tpu.models import get_model as _gm
+    from rmi_tpu.ops import eval_kernel
+    mtop = _gm(top_type)
+    mleaf = _gm(leaf_type)
+    xraw = keymod.as_float(queries)
+    xn = (xraw - off) * s
+    midx = predict_top_assignment(mtop, top_params, queries, xn, xraw,
+                                  B - 1)
+    rows = w_pad[midx]                      # one row gather [m, 128]
+    leaf_in = model_float_input(mleaf, xn, xraw)
+    guess = eval_kernel.leaf_eval_clamped(
+        leaf_in, rows, leaf_type=leaf_type, ppm=ppm,
+        n=n - 1).astype(jnp.int64)          # serving clamp codegen.rs:713
+    if leaf_errors is not None:
+        err = leaf_errors[midx].astype(jnp.int64)
+    else:
+        err = jnp.zeros_like(guess)
+    return guess, err, midx
+
+
+def df64_packed_params(rmi):
+    """[B, 128] f32 hi/lo param table, cached on the rmi."""
+    cached = getattr(rmi, "_df64_w_pad", None)
+    if cached is None:
+        from rmi_tpu.ops.sweep_kernel import pad_param_table
+        cached = jax.jit(pad_param_table)(rmi.device_leaf_params["w"])
+        try:
+            rmi._df64_w_pad = cached
+        except AttributeError:
+            pass
+    return cached
+
+
 def _eval(rmi, queries):
+    if getattr(rmi, "eval_mode", "xla") == "df64":
+        from rmi_tpu.models import get_model as _gm
+        return _rmi_eval_df64(
+            queries, rmi.device_top_params, df64_packed_params(rmi),
+            rmi.leaf_errors, jnp.float64(rmi.norm_offset),
+            jnp.float64(rmi.norm_scale),
+            top_type=rmi.top_type, leaf_type=rmi.leaf_type,
+            B=rmi.branching_factor, n=rmi.num_rmi_rows,
+            key_type=rmi.key_type, ppm=_gm(rmi.leaf_type).ppm)
     return _rmi_eval(
         queries, rmi.device_top_params, rmi.device_leaf_params,
         rmi.leaf_errors, jnp.float64(rmi.norm_offset),

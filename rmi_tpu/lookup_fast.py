@@ -93,6 +93,21 @@ def _pack_leaf_rows(rmi) -> jax.Array:
     return jnp.concatenate([w, err, pad], axis=1)
 
 
+@jax.jit
+def _pack_leaf_rows_df64(w, leaf_errors) -> jax.Array:
+    """[B, 16] f32 rows for df64 serving: hi columns 0..ppm, lo columns
+    ppm..2ppm, then the i32 max error BITCAST into an f32 lane — one
+    row gather still yields params AND error (the reference's zipped
+    layout, codegen.rs:288-316)."""
+    from rmi_tpu.ops import df64
+    wh, wl = df64.from_f64(jnp.asarray(w, dtype=jnp.float64))
+    B, ppm = wh.shape
+    err_bits = jax.lax.bitcast_convert_type(
+        leaf_errors.astype(jnp.int32), jnp.float32)[:, None]
+    pad = jnp.zeros((B, 16 - 2 * ppm - 1), dtype=jnp.float32)
+    return jnp.concatenate([wh, wl, err_bits, pad], axis=1)
+
+
 def _leaf_eval_rows(leaf_type: str, rows, x):
     """Evaluate a float-family leaf from its pre-gathered row."""
     if leaf_type in ("linear", "robust_linear", "linear_spline"):
@@ -160,6 +175,34 @@ def resolve(plan_levels, queries, guess, err, *, K: int, n: int,
 @functools.partial(
     jax.jit,
     static_argnames=("top_type", "leaf_type", "B", "n", "key_type", "K",
+                     "level_lens", "ppm"))
+def _fast_search_df64(queries, top_params, packed_rows, off, s,
+                      plan_levels, *, top_type, leaf_type, B, n,
+                      key_type, K, level_lens, ppm):
+    """df64-mode fused eval + hierarchical resolve: identical to
+    _fast_search but the leaf eval runs through the float-float Pallas
+    kernel that computed the error bounds (TrainedRMI.eval_mode)."""
+    from rmi_tpu.ops import eval_kernel
+    mtop = get_model(top_type)
+    mleaf = get_model(leaf_type)
+    xraw = keymod.as_float(queries)
+    xn = (xraw - off) * s
+    midx = predict_top_assignment(mtop, top_params, queries, xn, xraw,
+                                  B - 1)
+    rows = packed_rows[midx]                        # ONE row gather
+    leaf_in = model_float_input(mleaf, xn, xraw)
+    guess = eval_kernel.leaf_eval_clamped(
+        leaf_in, rows, leaf_type=leaf_type, ppm=ppm,
+        n=n - 1).astype(jnp.int64)
+    err = jax.lax.bitcast_convert_type(rows[:, 2 * ppm],
+                                       jnp.int32).astype(jnp.int64)
+    return resolve(plan_levels, queries, guess, err, K=K, n=n,
+                   level_lens=level_lens)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_type", "leaf_type", "B", "n", "key_type", "K",
                      "level_lens"))
 def _fast_search(queries, top_params, packed_rows, off, s,
                  plan_levels, *, top_type, leaf_type, B, n, key_type, K,
@@ -193,7 +236,11 @@ def get_plan(rmi) -> SearchPlan:
         max_err = int(jnp.max(rmi.leaf_errors)) \
             if rmi.leaf_errors is not None else 0
         plan = SearchPlan(rmi.keys, max_err)
-        plan.packed_rows = _pack_leaf_rows(rmi)
+        if getattr(rmi, "eval_mode", "xla") == "df64":
+            plan.packed_rows = _pack_leaf_rows_df64(
+                rmi.device_leaf_params["w"], rmi.leaf_errors)
+        else:
+            plan.packed_rows = _pack_leaf_rows(rmi)
         try:
             rmi._search_plan = plan
         except AttributeError:
@@ -214,6 +261,16 @@ def fast_search(rmi, queries):
     queries = jnp.asarray(queries)
 
     def dispatch(q):
+        if getattr(rmi, "eval_mode", "xla") == "df64":
+            return _fast_search_df64(
+                q, rmi.device_top_params, plan.packed_rows,
+                jnp.float64(rmi.norm_offset),
+                jnp.float64(rmi.norm_scale), tuple(plan.levels),
+                top_type=rmi.top_type, leaf_type=rmi.leaf_type,
+                B=rmi.branching_factor, n=rmi.num_rmi_rows,
+                key_type=rmi.key_type, K=plan.K,
+                level_lens=tuple(plan.level_lens),
+                ppm=get_model(rmi.leaf_type).ppm)
         return _fast_search(
             q, rmi.device_top_params, plan.packed_rows,
             jnp.float64(rmi.norm_offset),

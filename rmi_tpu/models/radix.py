@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from rmi_tpu.keys import as_int
 from rmi_tpu.models.base import ModelDef, Restriction, register
+from rmi_tpu.utils import segments as seg
 
 
 def num_bits_device(largest_u64):
@@ -195,20 +196,115 @@ def _make_radix_table_fit(bits: int):
         first = jnp.searchsorted(bucket, slots, side="left")
         vals = ys_f[jnp.clip(first, 0, n - 1)].astype(jnp.uint32)
         table = jnp.where(slots > bucket[n - 1], jnp.uint32(size), vals)
+        # bucket 0 keeps its initial 0: the construction loop's
+        # last_radix starts at 0, so the first key never writes slot 0
+        # (radix.rs:94-108).  Identical at the top (first y == 0);
+        # load-bearing for leaf tables where y values are global.
+        table = table.at[0].set(jnp.uint32(0))
         return {"w_int": jnp.stack([prefix, tb]), "table": table}
     return fit
 
 
+_RT_LEAF_CAP = 1 << 26   # max total table entries across leaves (256MB)
+
+
+def _make_radix_table_fit_leaves(bits: int):
+    def fit_leaves(xf, yf, spans, keys_f, xf_raw=None, keys_raw=None):
+        """Per-leaf hint tables (RadixTable::new per leaf container,
+        radix.rs:90-120, placeable anywhere per radix.rs:167-169).
+
+        Vectorized construction: within a leaf's augmented container
+        all keys share the per-leaf common prefix (= clz(first XOR
+        last) on sorted data), so "first key with bucket >= b" is a
+        global searchsorted of the VALUE threshold
+        top_bits | (b << shift) clipped into the leaf's span.
+
+        NOTE: the reference cannot correctly SERIALIZE this layer (its
+        generated code bakes one shared prefix into the emitted
+        radix_table function, radix.rs:146-160, while prefixes are
+        per-leaf); our artifact stores the per-leaf prefix alongside
+        each table — a documented, strictly-correcting divergence.
+        """
+        if keys_raw is None:
+            raise ValueError("radix-table leaves need raw integer keys")
+        ki = as_int(keys_raw)
+        n = spans.n
+        B = spans.B
+        size = 1 << bits
+        if B * size > _RT_LEAF_CAP:
+            raise ValueError(
+                f"radix{bits} leaf layer needs {B} x {4 * size} bytes of "
+                f"hint tables; reduce the branching factor or table bits")
+
+        first, last = seg.aug_first_last(spans)
+        kf = ki[first]
+        kl = ki[last]
+        empty = ~spans.nonempty
+        xor = kf ^ kl
+        prefix = jnp.where(
+            xor == jnp.uint64(0), jnp.uint64(64),
+            jax.lax.clz(xor).astype(jnp.uint64))
+        # empty container: OR/AND sweep over nothing -> prefix 0
+        # (utils.rs:23-36 identities)
+        prefix = jnp.where(empty, jnp.uint64(0), prefix)
+
+        tb = jnp.uint64(bits)
+        shift = jnp.where(prefix + tb > jnp.uint64(64), jnp.uint64(0),
+                          jnp.uint64(64) - prefix - tb)
+        low_first = _shr(_shl(kf, prefix), prefix)
+        top_bits = kf - low_first                        # leaf-constant
+        bucket_last = _shr(_shr(_shl(kl, prefix), prefix), shift)
+
+        slots = jnp.arange(size, dtype=jnp.uint64)
+        thresholds = (top_bits[:, None]
+                      + (slots[None, :] << shift[:, None]))  # [B, size]
+        ss = jnp.searchsorted(ki, thresholds.reshape(-1),
+                              side="left").reshape(B, size)
+        idx = jnp.clip(ss, spans.aug_starts[:, None],
+                       jnp.maximum(spans.aug_ends[:, None] - 1, 0))
+        yfix_u32 = yf.astype(jnp.uint32)                 # y as u32
+        vals = yfix_u32[jnp.clip(idx, 0, n - 1)]
+        trailing = slots[None, :] > bucket_last[:, None]
+        table = jnp.where(trailing, jnp.uint32(size), vals)
+        table = table.at[:, 0].set(jnp.uint32(0))        # slot-0 quirk
+        # empty leaves: table[0] = 0, rest = size (radix.rs:111-113
+        # with an empty construction loop)
+        table = jnp.where(
+            empty[:, None] & (slots[None, :] > 0), jnp.uint32(size),
+            table)
+        return {"tables": table, "prefixes": prefix, "shifts": shift}
+    return fit_leaves
+
+
 def _radix_table_predict(params, leaf_idx, keys, key_type=None):
+    ki = as_int(keys)
+    if "tables" in params:
+        # leaf layer: per-leaf prefix/shift + flattened table gather
+        from rmi_tpu.utils.segments import iso_take
+        tables = params["tables"]
+        B, size = tables.shape
+        if leaf_idx is None:
+            prefix = params["prefixes"][0]
+            shift = params["shifts"][0]
+            base = jnp.uint64(0)
+        else:
+            prefix = iso_take(params["prefixes"], leaf_idx)
+            shift = iso_take(params["shifts"], leaf_idx)
+            base = leaf_idx.astype(jnp.uint64) * jnp.uint64(size)
+        bucket = _shr(_shr(_shl(ki, prefix), prefix), shift)
+        flat = tables.reshape(-1)
+        return jnp.take(flat, (base + bucket).astype(jnp.int64)
+                        ).astype(jnp.uint64)
     w = params["w_int"]
-    bucket = _table_bucket(as_int(keys), w[0], w[1])
+    bucket = _table_bucket(ki, w[0], w[1])
     return params["table"][bucket].astype(jnp.uint64)
 
 
 for _bits in (8, 18, 22, 26, 28):
     register(ModelDef(
         name=f"radix{_bits}", ppm=1, restriction=Restriction.NONE,
-        needs_bounds_check=False, output_int=True, leaf_capable=False,
-        fit_top=_make_radix_table_fit(_bits), fit_leaves=None,
+        needs_bounds_check=False, output_int=True, leaf_capable=True,
+        fit_top=_make_radix_table_fit(_bits),
+        fit_leaves=_make_radix_table_fit_leaves(_bits),
         predict=_radix_table_predict, constant_params=None,
         bytes_per_model=4 * (1 << _bits), function_name="radix_table"))

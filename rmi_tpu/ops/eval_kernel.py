@@ -28,12 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rmi_tpu.ops import df64
-from rmi_tpu.ops.sweep_kernel import leaf_eval_df64
-
-
-def use_interpret() -> bool:
-    """Mosaic kernels interpret on CPU (tests); compile elsewhere."""
-    return jax.default_backend() == "cpu"
+from rmi_tpu.ops.sweep_kernel import leaf_eval_df64, use_interpret
 
 
 _EB = 2048   # eval block

@@ -44,6 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 from rmi_tpu.ops import df64
 
 KB = 2048          # keys per block (VMEM-fit sweet spot, probe G4-G6)
+
+
+def use_interpret() -> bool:
+    """Mosaic kernels interpret on CPU (tests); compile elsewhere."""
+    import jax as _jax
+    return _jax.default_backend() == "cpu"
+
 SPANS = (64, 256, 1024)   # supported per-block leaf-row windows
 
 PALLAS_SWEEP_LEAVES = ("linear", "robust_linear", "linear_spline",
@@ -135,7 +142,7 @@ def _sweep_call(xh, xl, yfix, t, w_pad, blk_lo, *, leaf_type, ppm, n, B,
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((nblocks * KB,), jnp.int32),
-            grid_spec=grid_spec,
+            grid_spec=grid_spec, interpret=use_interpret(),
         )(blk_lo, xh, xl, yfix, t, w_pad)
 
 

@@ -98,7 +98,27 @@ def top_constants(rmi):
 
 def leaf_layer_blob(rmi, include_errors: bool) -> bytes:
     """Layer-1 blob: per leaf, ppm f64 params then (optionally) the
-    zipped u64 max error (codegen.rs:288-316)."""
+    zipped u64 max error (codegen.rs:288-316).
+
+    Radix-table leaves use per-leaf records [u64 prefix | u32 table |
+    (u64 max_err)] — the reference cannot serialize this layer
+    correctly (its emitted radix_table bakes ONE prefix into shared
+    code, radix.rs:146-160, while prefixes are per-leaf), so this
+    layout is a documented correcting divergence.
+    """
+    if isinstance(rmi.leaf_params, dict):
+        tables = np.asarray(rmi.leaf_params["tables"], dtype="<u4")
+        prefixes = np.asarray(rmi.leaf_params["prefixes"], dtype="<u8")
+        B, size = tables.shape
+        inc = include_errors and rmi.leaf_errors is not None
+        rec_words = 2 + size + (2 if inc else 0)
+        rec = np.zeros((B, rec_words), dtype="<u4")
+        rec[:, 0:2] = prefixes[:, None].view("<u4").reshape(B, 2)
+        rec[:, 2:2 + size] = tables
+        if inc:
+            errs = np.asarray(rmi.leaf_errors, dtype="<u8")
+            rec[:, 2 + size:] = errs[:, None].view("<u4").reshape(B, 2)
+        return rec.tobytes()
     params = np.asarray(rmi.leaf_params, dtype=np.float64)
     B, ppm = params.shape
     if include_errors and rmi.leaf_errors is not None:
@@ -151,10 +171,14 @@ def save_artifact(rmi, namespace: str, data_dir: str = "rmi_data",
     with open(p1, "wb") as f:
         f.write(blob1)
     ppm = get_model(rmi.leaf_type).ppm
-    layers.append({"index": 1, "kind": "array",
+    layer1_meta = {"index": 1, "kind": "array",
                    "file": os.path.basename(p1), "bytes": len(blob1),
                    "params_per_model": ppm + (1 if inc else 0),
-                   "zipped_errors": inc})
+                   "zipped_errors": inc}
+    if isinstance(rmi.leaf_params, dict):
+        layer1_meta["leaf_table_bits"] = int(
+            np.log2(np.asarray(rmi.leaf_params["tables"]).shape[1]))
+    layers.append(layer1_meta)
 
     meta = {
         "namespace": namespace,
@@ -218,12 +242,32 @@ def load_artifact(meta_path: str):
     ppm = get_model(leaf_type).ppm
 
     layer1 = next(l for l in meta["layers"] if l["index"] == 1)
-    raw = np.fromfile(os.path.join(data_dir, layer1["file"]), dtype="<u8")
-    stride = layer1["params_per_model"]
-    raw = raw.reshape(B, stride)
-    leaf_params = jnp.asarray(raw[:, :ppm].copy().view("<f8"))
-    leaf_errors = (jnp.asarray(raw[:, ppm].copy())
-                   if layer1.get("zipped_errors") else None)
+    if "leaf_table_bits" in layer1:
+        # radix-table leaves: [u64 prefix | u32 table | (u64 err)]
+        size = 1 << layer1["leaf_table_bits"]
+        inc = layer1.get("zipped_errors")
+        rec_words = 2 + size + (2 if inc else 0)
+        raw4 = np.fromfile(os.path.join(data_dir, layer1["file"]),
+                           dtype="<u4").reshape(B, rec_words)
+        prefixes = raw4[:, 0:2].copy().view("<u8").reshape(B)
+        tables = raw4[:, 2:2 + size].copy()
+        leaf_errors = (jnp.asarray(
+            raw4[:, 2 + size:].copy().view("<u8").reshape(B))
+            if inc else None)
+        tb = np.uint64(layer1["leaf_table_bits"])
+        shifts = np.where(prefixes + tb > 64, np.uint64(0),
+                          np.uint64(64) - prefixes - tb)
+        leaf_params = {"tables": jnp.asarray(tables),
+                       "prefixes": jnp.asarray(prefixes),
+                       "shifts": jnp.asarray(shifts)}
+    else:
+        raw = np.fromfile(os.path.join(data_dir, layer1["file"]),
+                          dtype="<u8")
+        stride = layer1["params_per_model"]
+        raw = raw.reshape(B, stride)
+        leaf_params = jnp.asarray(raw[:, :ppm].copy().view("<f8"))
+        leaf_errors = (jnp.asarray(raw[:, ppm].copy())
+                       if layer1.get("zipped_errors") else None)
 
     layer0 = next(l for l in meta["layers"] if l["index"] == 0)
     if layer0["kind"] == "constant":
@@ -263,9 +307,12 @@ def load_artifact(meta_path: str):
     from rmi_tpu import convert as _convert
     kmin = meta.get("norm_offset", 0.0)
     s_ = meta.get("norm_scale", 1.0)
-    raw_leaf_np = np.asarray(leaf_params)
-    dev_leaf = {"w": jnp.asarray(_convert.device_leaf_params(
-        leaf_type, raw_leaf_np, kmin, s_))}
+    if isinstance(leaf_params, dict):
+        dev_leaf = dict(leaf_params)     # domain-free integer params
+    else:
+        raw_leaf_np = np.asarray(leaf_params)
+        dev_leaf = {"w": jnp.asarray(_convert.device_leaf_params(
+            leaf_type, raw_leaf_np, kmin, s_))}
     dev_top = {k: jnp.asarray(v) for k, v in _convert.device_top_params(
         top_type, {k: np.asarray(v) for k, v in tp.items()},
         kmin, s_).items()}

@@ -52,6 +52,12 @@ class TrainedRMI:
     cache_fix: Optional[Tuple[int, np.ndarray, np.ndarray]] = None
     # device copy of what the RMI serves over (for lookup/search):
     keys: Optional[jax.Array] = None
+    # leaf-eval arithmetic the error bounds were computed under:
+    # "xla" = XLA f64 (true f64 on CPU, emulated on TPU), "df64" =
+    # explicit float-float Pallas kernels (ops/).  Serving MUST eval
+    # leaves with the same arithmetic or the bound contract can break
+    # by one at floor() boundaries.
+    eval_mode: str = "xla"
 
     @property
     def top_type(self) -> str:
@@ -75,7 +81,7 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
     top_type, leaf_type = layers
 
     (top_params, leaf_params, patch, next_idx, leaf_errors, metrics,
-     kminf, s) = two_layer.train_two_layer(
+     kminf, s, eval_mode) = two_layer.train_two_layer(
         data.keys, data.key_type, None, top_type, leaf_type,
         branch_factor)
 
@@ -90,10 +96,17 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
      top_aux) = host
     build_time = time.monotonic_ns() - start
 
-    # raw-domain parameters for the artifact (host, true f64)
-    raw_leaf = convert.raw_leaf_params(
-        leaf_type, leaf_w_np, leaf_aux, patch_np,
-        np.asarray(next_idx_np).astype(np.float64), kminf, s)
+    if leaf_w_np is None:
+        # int-parameter leaves (radix hint tables): domain-free integer
+        # params pass through unchanged; serving uses the device dict.
+        raw_leaf = {k: np.asarray(v) for k, v in leaf_params.items()}
+        dev_leaf = dict(leaf_params)
+    else:
+        # raw-domain parameters for the artifact (host, true f64)
+        raw_leaf = convert.raw_leaf_params(
+            leaf_type, leaf_w_np, leaf_aux, patch_np,
+            np.asarray(next_idx_np).astype(np.float64), kminf, s)
+        dev_leaf = {"w": leaf_params["w"]}
     raw_top = convert.raw_top_params(top_type, top_np, top_aux, kminf, s)
 
     return TrainedRMI(
@@ -113,11 +126,12 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
         model_max_log2_error=float(m["model_max_log2_error"]),
         device_top_params={k: v for k, v in top_params.items()
                            if k != "aux"},
-        device_leaf_params={"w": leaf_params["w"]},
+        device_leaf_params=dev_leaf,
         norm_offset=kminf,
         norm_scale=s,
         build_time=build_time,
         keys=data.keys,
+        eval_mode=eval_mode,
     )
 
 

@@ -137,6 +137,12 @@ def _as_dict(params):
     return params if isinstance(params, dict) else {"w": params}
 
 
+def _predict_params(leaf_params):
+    """The device-predict view of a leaf-param dict (drops host-only
+    generator aux, keeps everything the model's predict reads)."""
+    return {k: v for k, v in leaf_params.items() if k != "aux"}
+
+
 def _leaf_eval_cols(leaf_type: str, cols, x):
     """Evaluate a float-family leaf from per-key parameter columns."""
     if leaf_type in ("linear", "robust_linear", "linear_spline"):
@@ -191,9 +197,15 @@ def _fit_body(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
     xn = (xraw - kminf) * s
     spans = seg.make_spans(t, B)
     leaf_in = model_float_input(mleaf, xn, xraw)
-    leaf_params = _as_dict(mleaf.fit_leaves(leaf_in,
-                                            yfix.astype(jnp.float64),
-                                            spans, leaf_in, xf_raw=xraw))
+    if mleaf.output_int:
+        # int-output leaves (radix hint tables) fit on exact key bits
+        leaf_params = _as_dict(mleaf.fit_leaves(
+            leaf_in, yfix.astype(jnp.float64), spans, leaf_in,
+            xf_raw=xraw, keys_raw=keys))
+    else:
+        leaf_params = _as_dict(mleaf.fit_leaves(
+            leaf_in, yfix.astype(jnp.float64), spans, leaf_in,
+            xf_raw=xraw))
     next_idx, next_key, prev_key = lower_bound_fills(spans, keys, key_type)
 
     # empty-leaf constant patch (two_layer.rs:182-202) — the reference's
@@ -228,11 +240,46 @@ def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
     # these n-scale gathers, but its associative_scan graph OOM-kills
     # the tunneled TPU compiler at n >= 100M — column gathers stay.
     t_idx = None if B == 1 else t
-    pred_f = mleaf.predict(leaf_params, t_idx, leaf_in)
-    p = jnp.floor(pred_f)
-    p = jnp.where(jnp.isnan(p), 0.0, jnp.clip(p, 0.0, jnp.float64(n)))
-    pred = p.astype(jnp.int32)
+    if mleaf.output_int:
+        pred = clamp_int(mleaf.predict(leaf_params, t_idx, keys),
+                         n).astype(jnp.int32)
+    else:
+        pred_f = mleaf.predict(leaf_params, t_idx, leaf_in)
+        p = jnp.floor(pred_f)
+        p = jnp.where(jnp.isnan(p), 0.0, jnp.clip(p, 0.0, jnp.float64(n)))
+        pred = p.astype(jnp.int32)
     err = _error_between(pred, jnp.minimum(yfix, n), n)
+
+    # epsilon probes (two_layer.rs:226-259)
+    def probe_input(probe_keys):
+        if mleaf.output_int:
+            return probe_keys
+        pf = keymod.as_float(probe_keys)
+        if mleaf.input_domain == "raw":
+            return pf
+        return (pf - kminf) * s
+
+    def probe_predict(probe_keys, leaf_ids):
+        raw = mleaf.predict(leaf_params, leaf_ids,
+                            probe_input(probe_keys))
+        if mleaf.output_int:
+            return clamp_int(raw, n)
+        return predict_clamped(raw, n)
+
+    leaf_ids = jnp.arange(B)
+    up_keys = keymod.minus_epsilon(next_key, key_type)
+    pred_up = probe_predict(up_keys, leaf_ids)
+    lo_keys = keymod.plus_epsilon(prev_key, key_type)
+    pred_lo = probe_predict(lo_keys, leaf_ids)
+    return _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts,
+                       ends, B=B)
+
+
+def _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts, ends, *,
+                B: int):
+    """Stage-C tail from per-key errors + probe predictions to the
+    final per-leaf errors and metrics (two_layer.rs:226-287)."""
+    n = keys.shape[0]
     # scatter-free per-leaf maxima over the contiguous spans
     max_err = seg.range_max(err, starts, ends, 0).astype(jnp.int64)
     run_counted = _run_lengths_i32(keys, n)
@@ -240,24 +287,10 @@ def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
                                 0).astype(jnp.int64)
     cnt = ends - starts
 
-    # epsilon probes (two_layer.rs:226-259)
-    def probe_input(probe_keys):
-        pf = keymod.as_float(probe_keys)
-        if mleaf.input_domain == "raw":
-            return pf
-        return (pf - kminf) * s
-
     leaf_ids = jnp.arange(B)
-    up_keys = keymod.minus_epsilon(next_key, key_type)
-    pred_up = predict_clamped(
-        mleaf.predict(leaf_params, leaf_ids, probe_input(up_keys)), n)
-    upper_err = _error_between(pred_up, next_idx + 1, n)
-
-    lo_keys = keymod.plus_epsilon(prev_key, key_type)
-    pred_lo = predict_clamped(
-        mleaf.predict(leaf_params, leaf_ids, probe_input(lo_keys)), n)
+    upper_err = _error_between(pred_up.astype(jnp.int64), next_idx + 1, n)
     first_idx = next_idx[jnp.maximum(leaf_ids - 1, 0)]
-    lower_err = _error_between(pred_lo, first_idx, n)
+    lower_err = _error_between(pred_lo.astype(jnp.int64), first_idx, n)
 
     final_err = (jnp.maximum(jnp.maximum(max_err, upper_err), lower_err)
                  + longest_run)
@@ -282,12 +315,132 @@ def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
     return final_err.astype(jnp.uint64), metrics
 
 
+# ---------------------------------------------------------------------------
+# Pallas (df64) sweep mode
+# ---------------------------------------------------------------------------
+
+def pallas_sweep_mode(leaf_type: str) -> bool:
+    """Whether builds use the Pallas df64 sweep (and serving must then
+    use the matching df64 eval — see TrainedRMI.eval_mode).
+
+    Default: on for supported leaf families on real TPU backends, off
+    on CPU (tests exercise the exact-f64 oracle semantics there).
+    RMI_PALLAS=1 forces it (interpret mode on CPU); RMI_PALLAS=0
+    disables.
+    """
+    import os
+    flag = os.environ.get("RMI_PALLAS", "").lower()
+    if flag in ("0", "off", "false"):
+        return False
+    from rmi_tpu.ops.sweep_kernel import PALLAS_SWEEP_LEAVES
+    if leaf_type not in PALLAS_SWEEP_LEAVES:
+        return False
+    if flag in ("1", "on", "true"):
+        return True
+    return jax.default_backend() != "cpu"
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_type", "B", "key_type"))
+def _stage_probe_df64(keys, w_pad, next_idx, next_key, prev_key, starts,
+                      ends, kminf, s, *, leaf_type: str, B: int,
+                      key_type: KeyType):
+    """Epsilon-probe predictions in df64 (the Pallas-mode twin of the
+    probe section of _sweep_body) + the sweep's per-key inputs."""
+    from rmi_tpu.ops import eval_kernel
+    n = keys.shape[0]
+    mleaf = get_model(leaf_type)
+    ppm = mleaf.ppm
+
+    def probe_input(probe_keys):
+        pf = keymod.as_float(probe_keys)
+        if mleaf.input_domain == "raw":
+            return pf
+        return (pf - kminf) * s
+
+    up_keys = keymod.minus_epsilon(next_key, key_type)
+    pred_up = eval_kernel.leaf_eval_clamped(
+        probe_input(up_keys), w_pad, leaf_type=leaf_type, ppm=ppm, n=n)
+    lo_keys = keymod.plus_epsilon(prev_key, key_type)
+    pred_lo = eval_kernel.leaf_eval_clamped(
+        probe_input(lo_keys), w_pad, leaf_type=leaf_type, ppm=ppm, n=n)
+    return pred_up, pred_lo
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _stage_tail(keys, err, pred_up, pred_lo, next_idx, starts, ends, *,
+                B: int):
+    return _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts,
+                       ends, B=B)
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_type",))
+def _prep_pallas_sweep(keys, leaf_w, kminf, s, *, leaf_type: str):
+    from rmi_tpu.ops import sweep_kernel
+    mleaf = get_model(leaf_type)
+    xraw = keymod.as_float(keys)
+    xn = (xraw - kminf) * s
+    leaf_in = model_float_input(mleaf, xn, xraw)
+    return leaf_in, sweep_kernel.pad_param_table(leaf_w)
+
+
+_block_leaf_bounds_jit = None
+
+
+def _sweep_pallas(keys, yfix, t, leaf_w, next_idx, next_key, prev_key,
+                  starts, ends, kminf, s, *, leaf_type: str, B: int,
+                  key_type: KeyType):
+    """Stage C with the Pallas df64 sweep kernel.
+
+    Runs staged (the per-block leaf-span guard is a host decision).
+    Returns (leaf_errors u64, metrics) like _sweep_body, or None when
+    the leaf-span guard fails (caller falls back to the XLA sweep).
+    """
+    from rmi_tpu.ops import sweep_kernel
+    n = keys.shape[0]
+    mleaf = get_model(leaf_type)
+
+    global _block_leaf_bounds_jit
+    if _block_leaf_bounds_jit is None:
+        _block_leaf_bounds_jit = jax.jit(sweep_kernel.block_leaf_bounds)
+    blk_lo, max_span = _block_leaf_bounds_jit(t)
+    span = next((sp for sp in sweep_kernel.SPANS
+                 if int(max_span) <= sp), None)
+    if span is None:
+        return None
+
+    leaf_in, w_pad = _prep_pallas_sweep(keys, leaf_w, kminf, s,
+                                        leaf_type=leaf_type)
+    err = sweep_kernel.sweep_errors(
+        leaf_in, yfix, t, w_pad, blk_lo, leaf_type=leaf_type, n=n, B=B,
+        ppm=mleaf.ppm, span=span)
+    pred_up, pred_lo = _stage_probe_df64(
+        keys, w_pad, next_idx, next_key, prev_key, starts, ends, kminf,
+        s, leaf_type=leaf_type, B=B, key_type=key_type)
+    return _stage_tail(keys, err, pred_up, pred_lo, next_idx, starts,
+                       ends, B=B)
+
+
 _stage_assign = functools.partial(jax.jit, static_argnames=(
     "top_type", "B", "key_type"))(_assign_body)
 _stage_fit = functools.partial(jax.jit, static_argnames=(
     "leaf_type", "B", "key_type"))(_fit_body)
 _stage_sweep = functools.partial(jax.jit, static_argnames=(
     "leaf_type", "B", "key_type"))(_sweep_body)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_type", "leaf_type", "B", "key_type"))
+def _stage_assign_fit(keys, kminf, s, *, top_type: str, leaf_type: str,
+                      B: int, key_type: KeyType):
+    """Stages A+B fused in one program: the remote TPU compiler
+    SEGFAULTS on stage B's standalone graph at n >= 50M but accepts the
+    fused shape (same pathology as the known monolith-vs-staged limits,
+    PLAN.md item 0)."""
+    yfix, top_params, t = _assign_body(keys, kminf, s, top_type=top_type,
+                                       B=B, key_type=key_type)
+    fit_out = _fit_body(keys, yfix, t, kminf, s, leaf_type=leaf_type,
+                        B=B, key_type=key_type)
+    return yfix, top_params, t, fit_out
 
 
 @functools.partial(jax.jit,
@@ -304,7 +457,7 @@ def _train_core_mono(keys, kminf, s, *, top_type: str, leaf_type: str,
      nonempty) = _fit_body(keys, yfix, t, kminf, s, leaf_type=leaf_type,
                            B=B, key_type=key_type)
     leaf_errors, metrics = _sweep_body(
-        keys, yfix, t, {"w": leaf_params["w"]}, next_idx, next_key,
+        keys, yfix, t, _predict_params(leaf_params), next_idx, next_key,
         prev_key, starts, ends, nonempty, kminf, s, leaf_type=leaf_type,
         B=B, key_type=key_type)
     return (top_params, leaf_params, patch, next_idx, leaf_errors, metrics)
@@ -338,6 +491,37 @@ def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,
 
     import os
     profile = os.environ.get("RMI_PROFILE_BUILD") == "1"
+    eval_mode = "xla"
+    if pallas_sweep_mode(leaf_type):
+        # Staged build with the Pallas df64 sweep: per-key errors and
+        # epsilon probes evaluate in float-float (ops/df64.py); serving
+        # must then use the same arithmetic (TrainedRMI.eval_mode).
+        from rmi_tpu.utils.profiling import phase
+        with phase("assign+fit", profile):
+            yfix, top_params, t, fit_out = _stage_assign_fit(
+                keys, kd, sd, top_type=top_type, leaf_type=leaf_type,
+                B=B, key_type=key_type)
+            (leaf_params, patch, next_idx, next_key, prev_key, starts,
+             ends, nonempty) = fit_out
+            if profile:
+                jax.block_until_ready(leaf_params)
+        with phase("sweep", profile):
+            out = _sweep_pallas(
+                keys, yfix, t, leaf_params["w"], next_idx, next_key,
+                prev_key, starts, ends, kd, sd, leaf_type=leaf_type,
+                B=B, key_type=key_type)
+            if out is not None:
+                leaf_errors, metrics = out
+                eval_mode = "df64"
+            else:  # leaf-span guard tripped: XLA fallback
+                leaf_errors, metrics = _stage_sweep(
+                    keys, yfix, t, _predict_params(leaf_params), next_idx,
+                    next_key, prev_key, starts, ends, nonempty, kd, sd,
+                    leaf_type=leaf_type, B=B, key_type=key_type)
+            if profile:
+                jax.block_until_ready(leaf_errors)
+        return (top_params, leaf_params, patch, next_idx, leaf_errors,
+                metrics, kminf, s, eval_mode)
     if profile or os.environ.get("RMI_BUILD_STAGED") == "1":
         # Staged path: per-phase HBM release, and (with
         # RMI_PROFILE_BUILD=1) per-phase wall timing logged to stderr —
@@ -353,10 +537,10 @@ def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,
              ends, nonempty) = _stage_fit(
                 keys, yfix, t, kd, sd, leaf_type=leaf_type, B=B,
                 key_type=key_type)
-            jax.block_until_ready(leaf_params["w"])
+            jax.block_until_ready(leaf_params)
         with phase("sweep", profile):
             leaf_errors, metrics = _stage_sweep(
-                keys, yfix, t, {"w": leaf_params["w"]}, next_idx, next_key,
+                keys, yfix, t, _predict_params(leaf_params), next_idx, next_key,
                 prev_key, starts, ends, nonempty, kd, sd,
                 leaf_type=leaf_type, B=B, key_type=key_type)
             jax.block_until_ready(leaf_errors)
@@ -366,4 +550,4 @@ def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,
             keys, kd, sd, top_type=top_type, leaf_type=leaf_type, B=B,
             key_type=key_type)
     return (top_params, leaf_params, patch, next_idx, leaf_errors,
-            metrics, kminf, s)
+            metrics, kminf, s, eval_mode)

@@ -24,6 +24,8 @@ def run_cli(args, cwd):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = "/root/repo"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rmi_tpu_jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     r = subprocess.run([sys.executable, "-m", "rmi_tpu", *args],
                        cwd=cwd, env=env, capture_output=True, text=True,
                        timeout=600)
@@ -89,6 +91,8 @@ def test_optimize_mode(tmp_path, dataset):
     env = dict(os.environ, **env_extra)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = "/root/repo"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rmi_tpu_jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     r = subprocess.run(
         [sys.executable, "-m", "rmi_tpu", p, "--optimize", "opt.json"],
         cwd=str(tmp_path), env=env, capture_output=True, text=True,
