@@ -94,12 +94,12 @@ def main():
 
     log(f"total staged: {(dt_a+dt_b+dt_c)*1e3:.1f} ms")
 
-    _, dt_cp = timed(
-        "stage C via Pallas df64 sweep", tl._sweep_pallas,
-        keys, yfix, t, leaf_params["w"], next_idx, next_key, prev_key,
-        starts, ends, kd, sd, leaf_type=leaf_type, B=B,
-        key_type=key_type)
-    log(f"total staged (pallas sweep): {(dt_a+dt_b+dt_cp)*1e3:.1f} ms")
+    _, dt_p = timed(
+        "mono+pallas build (df64 sweep)", tl._train_core_pallas,
+        keys, kd, sd, top_type=top_type, leaf_type=leaf_type, B=B,
+        key_type=key_type, span=tl.default_span(n, B))
+    log(f"pallas vs xla staged: {dt_p*1e3:.1f} vs "
+        f"{(dt_a+dt_b+dt_c)*1e3:.1f} ms")
 
     # --- micro: pieces of the sweep ---
     w = leaf_params["w"]

@@ -20,3 +20,14 @@ jax.config.update("jax_enable_x64", True)
 
 # Keep compilation deterministic and quiet in CI contexts.
 os.environ.setdefault("JAX_TRACEBACK_FILTERING", "auto")
+
+# Persistent compilation cache: the monolithic build programs take
+# minutes to compile (remote compiler on tunneled TPUs, emulated-f64
+# expansion); caching across processes amortizes that to one-time.
+# Disable with RMI_NO_COMPILE_CACHE=1.
+if not os.environ.get("RMI_NO_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/rmi_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -90,8 +90,8 @@ def leaf_eval_df64(leaf_type: str, cols, xh, xl):
 
 
 def _sweep_kernel(blk_lo_ref, xh_ref, xl_ref, y_ref, t_ref, w_ref,
-                  err_ref, wloc_ref, sem, *, leaf_type: str, ppm: int,
-                  n: int, B: int, span: int):
+                  err_ref, ovf_ref, wloc_ref, sem, *, leaf_type: str,
+                  ppm: int, n: int, B: int, span: int):
     g = pl.program_id(0)
     rows = min(span, B)
     lo = jnp.minimum(blk_lo_ref[g], jnp.int32(max(B - rows, 0)))
@@ -99,6 +99,13 @@ def _sweep_kernel(blk_lo_ref, xh_ref, xl_ref, y_ref, t_ref, w_ref,
     cp = pltpu.make_async_copy(w_ref.at[pl.ds(lo, rows), :], wloc_ref, sem)
     cp.start()
     cp.wait()
+
+    # per-block window-overflow flag: the block's last leaf id (t is
+    # non-decreasing) must fall inside the DMA'd window.  Overflowed
+    # blocks produce garbage errors; the caller discards the whole
+    # build and retries with a wider span / the XLA sweep.
+    ovf_ref[0] = (t_ref[KB - 1] - lo > jnp.int32(rows - 1)
+                  ).astype(jnp.int32)
 
     tl = jnp.clip(t_ref[:] - lo, 0, rows - 1)
     onehot = (tl[:, None] ==
@@ -131,8 +138,10 @@ def _sweep_call(xh, xl, yfix, t, w_pad, blk_lo, *, leaf_type, ppm, n, B,
             in_specs=[pl.BlockSpec((KB,), lambda g, b: (g,),
                                    memory_space=pltpu.VMEM)] * 4 +
                      [pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((KB,), lambda g, b: (g,),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(pl.BlockSpec((KB,), lambda g, b: (g,),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1,), lambda g, b: (g,),
+                                    memory_space=pltpu.VMEM)),
             scratch_shapes=[
                 pltpu.VMEM((min(span, B), 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
@@ -141,7 +150,9 @@ def _sweep_call(xh, xl, yfix, t, w_pad, blk_lo, *, leaf_type, ppm, n, B,
                                  ppm=ppm, n=n, B=B, span=span)
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((nblocks * KB,), jnp.int32),
+            out_shape=(
+                jax.ShapeDtypeStruct((nblocks * KB,), jnp.int32),
+                jax.ShapeDtypeStruct((nblocks,), jnp.int32)),
             grid_spec=grid_spec, interpret=use_interpret(),
         )(blk_lo, xh, xl, yfix, t, w_pad)
 
@@ -167,11 +178,13 @@ def block_leaf_bounds(t: jax.Array):
 
 def sweep_errors(xn, yfix, t, w_pad, blk_lo, *, leaf_type: str, n: int,
                  B: int, ppm: int, span: int):
-    """Per-key sweep errors via the Pallas kernel -> err [n] i32.
+    """Per-key sweep errors via the Pallas kernel.
 
-    ``xn`` f64 normalized keys; ``w_pad`` from pad_param_table;
-    ``span`` from SPANS covering block_leaf_bounds' max span (caller
-    falls back to the XLA sweep when none does).
+    ``xn`` f64 normalized keys; ``w_pad`` from pad_param_table; ``span``
+    is the static DMA window in leaf rows.  Returns (err [n] i32,
+    overflow scalar i32): a nonzero overflow means some block's leaf
+    span exceeded the window and the ERRORS ARE INVALID — the caller
+    must retry with a wider span or the XLA sweep.
     """
     xh, xl = df64.from_f64(xn)
     nfull = xh.shape[0]
@@ -181,7 +194,8 @@ def sweep_errors(xn, yfix, t, w_pad, blk_lo, *, leaf_type: str, n: int,
         xl = jnp.concatenate([xl, jnp.broadcast_to(xl[-1:], (pad,))])
         yfix = jnp.concatenate([yfix, jnp.broadcast_to(yfix[-1:], (pad,))])
         t = jnp.concatenate([t, jnp.broadcast_to(t[-1:], (pad,))])
-    err = _sweep_call(xh, xl, yfix.astype(jnp.int32), t.astype(jnp.int32),
-                      w_pad, blk_lo, leaf_type=leaf_type, ppm=ppm,
-                      n=n, B=B, span=span)
-    return err[:nfull]
+    err, ovf = _sweep_call(xh, xl, yfix.astype(jnp.int32),
+                           t.astype(jnp.int32), w_pad, blk_lo,
+                           leaf_type=leaf_type, ppm=ppm, n=n, B=B,
+                           span=span)
+    return err[:nfull], jnp.max(ovf)

@@ -340,14 +340,11 @@ def pallas_sweep_mode(leaf_type: str) -> bool:
     return jax.default_backend() != "cpu"
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_type", "B", "key_type"))
-def _stage_probe_df64(keys, w_pad, next_idx, next_key, prev_key, starts,
-                      ends, kminf, s, *, leaf_type: str, B: int,
-                      key_type: KeyType):
+def _probe_df64_body(n, w_pad, next_key, prev_key, kminf, s, *,
+                     leaf_type: str, key_type: KeyType):
     """Epsilon-probe predictions in df64 (the Pallas-mode twin of the
-    probe section of _sweep_body) + the sweep's per-key inputs."""
+    probe section of _sweep_body)."""
     from rmi_tpu.ops import eval_kernel
-    n = keys.shape[0]
     mleaf = get_model(leaf_type)
     ppm = mleaf.ppm
 
@@ -366,58 +363,53 @@ def _stage_probe_df64(keys, w_pad, next_idx, next_key, prev_key, starts,
     return pred_up, pred_lo
 
 
-@functools.partial(jax.jit, static_argnames=("B",))
-def _stage_tail(keys, err, pred_up, pred_lo, next_idx, starts, ends, *,
-                B: int):
-    return _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts,
-                       ends, B=B)
+def default_span(n: int, B: int) -> int:
+    """Static DMA-window heuristic: ~4x the expected leaves per block,
+    clamped to the supported buckets."""
+    from rmi_tpu.ops.sweep_kernel import KB
+    per_block = KB * B / max(n, 1) + 8
+    span = 64
+    while span < 4 * per_block and span < 1024:
+        span *= 2
+    return min(span, 1024)
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_type",))
-def _prep_pallas_sweep(keys, leaf_w, kminf, s, *, leaf_type: str):
-    from rmi_tpu.ops import sweep_kernel
-    mleaf = get_model(leaf_type)
-    xraw = keymod.as_float(keys)
-    xn = (xraw - kminf) * s
-    leaf_in = model_float_input(mleaf, xn, xraw)
-    return leaf_in, sweep_kernel.pad_param_table(leaf_w)
+@functools.partial(jax.jit, static_argnames=("top_type", "leaf_type",
+                                             "B", "key_type", "span"))
+def _train_core_pallas(keys, kminf, s, *, top_type: str, leaf_type: str,
+                       B: int, key_type: KeyType, span: int):
+    """The whole build as ONE program with the Pallas df64 sweep in
+    place of the XLA gather sweep.
 
-
-_block_leaf_bounds_jit = None
-
-
-def _sweep_pallas(keys, yfix, t, leaf_w, next_idx, next_key, prev_key,
-                  starts, ends, kminf, s, *, leaf_type: str, B: int,
-                  key_type: KeyType):
-    """Stage C with the Pallas df64 sweep kernel.
-
-    Runs staged (the per-block leaf-span guard is a host decision).
-    Returns (leaf_errors u64, metrics) like _sweep_body, or None when
-    the leaf-span guard fails (caller falls back to the XLA sweep).
+    Monolithic on purpose: the remote TPU compiler SEGFAULTS on
+    stage-B-terminated subgraphs at n >= 25M (probes/probe_segv_bisect)
+    while accepting the fused whole, so the leaf-span check cannot be a
+    host decision between stages — instead the kernel emits per-block
+    overflow flags and the caller discards + retries on overflow.
     """
     from rmi_tpu.ops import sweep_kernel
     n = keys.shape[0]
     mleaf = get_model(leaf_type)
-
-    global _block_leaf_bounds_jit
-    if _block_leaf_bounds_jit is None:
-        _block_leaf_bounds_jit = jax.jit(sweep_kernel.block_leaf_bounds)
-    blk_lo, max_span = _block_leaf_bounds_jit(t)
-    span = next((sp for sp in sweep_kernel.SPANS
-                 if int(max_span) <= sp), None)
-    if span is None:
-        return None
-
-    leaf_in, w_pad = _prep_pallas_sweep(keys, leaf_w, kminf, s,
-                                        leaf_type=leaf_type)
-    err = sweep_kernel.sweep_errors(
+    yfix, top_params, t = _assign_body(keys, kminf, s, top_type=top_type,
+                                       B=B, key_type=key_type)
+    (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
+     nonempty) = _fit_body(keys, yfix, t, kminf, s, leaf_type=leaf_type,
+                           B=B, key_type=key_type)
+    xraw = keymod.as_float(keys)
+    xn = (xraw - kminf) * s
+    leaf_in = model_float_input(mleaf, xn, xraw)
+    w_pad = sweep_kernel.pad_param_table(leaf_params["w"])
+    blk_lo, _max_span = sweep_kernel.block_leaf_bounds(t)
+    err, ovf = sweep_kernel.sweep_errors(
         leaf_in, yfix, t, w_pad, blk_lo, leaf_type=leaf_type, n=n, B=B,
         ppm=mleaf.ppm, span=span)
-    pred_up, pred_lo = _stage_probe_df64(
-        keys, w_pad, next_idx, next_key, prev_key, starts, ends, kminf,
-        s, leaf_type=leaf_type, B=B, key_type=key_type)
-    return _stage_tail(keys, err, pred_up, pred_lo, next_idx, starts,
-                       ends, B=B)
+    pred_up, pred_lo = _probe_df64_body(
+        n, w_pad, next_key, prev_key, kminf, s, leaf_type=leaf_type,
+        key_type=key_type)
+    leaf_errors, metrics = _sweep_tail(keys, err, pred_up, pred_lo,
+                                       next_idx, starts, ends, B=B)
+    return (top_params, leaf_params, patch, next_idx, leaf_errors,
+            metrics, ovf)
 
 
 _stage_assign = functools.partial(jax.jit, static_argnames=(
@@ -426,21 +418,6 @@ _stage_fit = functools.partial(jax.jit, static_argnames=(
     "leaf_type", "B", "key_type"))(_fit_body)
 _stage_sweep = functools.partial(jax.jit, static_argnames=(
     "leaf_type", "B", "key_type"))(_sweep_body)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("top_type", "leaf_type", "B", "key_type"))
-def _stage_assign_fit(keys, kminf, s, *, top_type: str, leaf_type: str,
-                      B: int, key_type: KeyType):
-    """Stages A+B fused in one program: the remote TPU compiler
-    SEGFAULTS on stage B's standalone graph at n >= 50M but accepts the
-    fused shape (same pathology as the known monolith-vs-staged limits,
-    PLAN.md item 0)."""
-    yfix, top_params, t = _assign_body(keys, kminf, s, top_type=top_type,
-                                       B=B, key_type=key_type)
-    fit_out = _fit_body(keys, yfix, t, kminf, s, leaf_type=leaf_type,
-                        B=B, key_type=key_type)
-    return yfix, top_params, t, fit_out
 
 
 @functools.partial(jax.jit,
@@ -493,35 +470,24 @@ def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,
     profile = os.environ.get("RMI_PROFILE_BUILD") == "1"
     eval_mode = "xla"
     if pallas_sweep_mode(leaf_type):
-        # Staged build with the Pallas df64 sweep: per-key errors and
-        # epsilon probes evaluate in float-float (ops/df64.py); serving
-        # must then use the same arithmetic (TrainedRMI.eval_mode).
-        from rmi_tpu.utils.profiling import phase
-        with phase("assign+fit", profile):
-            yfix, top_params, t, fit_out = _stage_assign_fit(
+        # Monolithic build with the Pallas df64 sweep: per-key errors
+        # and epsilon probes evaluate in float-float (ops/df64.py);
+        # serving must then use the same arithmetic
+        # (TrainedRMI.eval_mode).  The DMA-window size is a static
+        # heuristic; on (rare, skewed) overflow the kernel flags it and
+        # the build escalates to the widest window, then to the XLA
+        # monolith.
+        spans_to_try = sorted({default_span(keys.shape[0], B), 1024})
+        for span in spans_to_try:
+            out = _train_core_pallas(
                 keys, kd, sd, top_type=top_type, leaf_type=leaf_type,
-                B=B, key_type=key_type)
-            (leaf_params, patch, next_idx, next_key, prev_key, starts,
-             ends, nonempty) = fit_out
-            if profile:
-                jax.block_until_ready(leaf_params)
-        with phase("sweep", profile):
-            out = _sweep_pallas(
-                keys, yfix, t, leaf_params["w"], next_idx, next_key,
-                prev_key, starts, ends, kd, sd, leaf_type=leaf_type,
-                B=B, key_type=key_type)
-            if out is not None:
-                leaf_errors, metrics = out
-                eval_mode = "df64"
-            else:  # leaf-span guard tripped: XLA fallback
-                leaf_errors, metrics = _stage_sweep(
-                    keys, yfix, t, _predict_params(leaf_params), next_idx,
-                    next_key, prev_key, starts, ends, nonempty, kd, sd,
-                    leaf_type=leaf_type, B=B, key_type=key_type)
-            if profile:
-                jax.block_until_ready(leaf_errors)
-        return (top_params, leaf_params, patch, next_idx, leaf_errors,
-                metrics, kminf, s, eval_mode)
+                B=B, key_type=key_type, span=span)
+            (top_params, leaf_params, patch, next_idx, leaf_errors,
+             metrics, ovf) = out
+            if not int(ovf):
+                return (top_params, leaf_params, patch, next_idx,
+                        leaf_errors, metrics, kminf, s, "df64")
+        # fall through to the XLA monolith on persistent overflow
     if profile or os.environ.get("RMI_BUILD_STAGED") == "1":
         # Staged path: per-phase HBM release, and (with
         # RMI_PROFILE_BUILD=1) per-phase wall timing logged to stderr —

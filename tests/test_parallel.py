@@ -126,3 +126,18 @@ def test_dp_full_zoo(mesh, rng, top, leaf, B):
     e1 = np.asarray(res.leaf_errors).astype(np.int64)
     e2 = np.asarray(errs).astype(np.int64)
     assert np.abs(e1 - e2).max() <= 1, (top, leaf, np.abs(e1-e2).max())
+
+
+def test_multihost_helpers():
+    """Single-process: initialize() is a safe no-op; meshes span the
+    virtual device pool with the documented axis layout."""
+    import jax
+    from rmi_tpu.parallel import multihost
+
+    assert multihost.initialize() is False      # no coordinator env
+    m = multihost.global_mesh()
+    assert m.devices.size == jax.device_count()
+    assert m.axis_names == ("data",)
+    h = multihost.hybrid_mesh()
+    assert h.axis_names == ("config", "data")
+    assert h.devices.shape == (1, jax.device_count())
