@@ -1,11 +1,11 @@
-"""Probe: where does the 200M build spend its time?
+"""Probe: where does the build spend its time? (micro-op level)
 
-Runs the three staged build programs separately (assign / fit / sweep)
-on the real TPU and times each, plus micro-variants isolating the
-suspected hot spots inside the sweep (per-key param column gathers,
-emulated-f64 elementwise predict, range_max hierarchy).
-
-Env: RMI_PROBE_N (default 50M).
+Standalone stage-B/C programs segfault the remote compiler at >= 25M,
+so this probes the building-block costs directly at n=RMI_PROBE_N:
+u64->f64 conversion, f64 (emulated) cumsum, i32 cummax, per-key
+column gathers, df64-style elementwise chains, range_max hierarchy,
+delta-scatter expansion — plus stage A standalone and both monolith
+builds for end-to-end context.
 """
 
 import os
@@ -39,22 +39,23 @@ def gen_books_like(n, seed=42):
         scale = (2.0 ** 62) / csum[-1]
         return (csum * scale).astype(jnp.uint64)
     k = gen(jax.random.PRNGKey(seed))
-    k.block_until_ready()
+    _ = int(k[-1])
     return k
 
 
 def _force(out):
-    """Materialize one element of every output leaf — block_until_ready
-    is unreliable over the tunneled device."""
-    leaves = jax.tree_util.tree_leaves(out)
-    for v in leaves:
+    for v in jax.tree_util.tree_leaves(out):
         if hasattr(v, "ravel") and v.size:
             jax.device_get(v.ravel()[0])
 
 
-def timed(name, fn, *args, warm=True, iters=2, **kw):
-    out = fn(*args, **kw)
-    _force(out)
+def timed(name, fn, *args, iters=2, **kw):
+    try:
+        out = fn(*args, **kw)
+        _force(out)
+    except Exception as e:
+        log(f"{name:45s}: FAILED {type(e).__name__} {str(e)[:80]}")
+        return None, None
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args, **kw)
@@ -65,97 +66,93 @@ def timed(name, fn, *args, warm=True, iters=2, **kw):
 
 
 def main():
-    n = int(os.environ.get("RMI_PROBE_N", 50_000_000))
+    n = int(os.environ.get("RMI_PROBE_N", 25_000_000))
     B = 262144
-    top_type, leaf_type = "cubic", "linear"
     key_type = KeyType.U64
-    log(f"n={n} B={B} {top_type},{leaf_type} on {jax.devices()[0]}")
+    log(f"n={n} B={B} on {jax.devices()[0]}")
 
     keys = gen_books_like(n)
     kminf, s = tl.norm_constants(keys, key_type)
     kd, sd = jnp.float64(kminf), jnp.float64(s)
 
-    (yfix, top_params, t), dt_a = timed(
-        "stage A (fixdups+top fit+assign)", tl._stage_assign,
-        keys, kd, sd, top_type=top_type, B=B, key_type=key_type)
-
-    fit_out, dt_b = timed(
-        "stage B (leaf fits + LB fills)", tl._stage_fit,
-        keys, yfix, t, kd, sd, leaf_type=leaf_type, B=B,
-        key_type=key_type)
-    (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
-     nonempty) = fit_out
-
-    _, dt_c = timed(
-        "stage C (error sweep + metrics)", tl._stage_sweep,
-        keys, yfix, t, {"w": leaf_params["w"]}, next_idx, next_key,
-        prev_key, starts, ends, nonempty, kd, sd, leaf_type=leaf_type,
-        B=B, key_type=key_type)
-
-    log(f"total staged: {(dt_a+dt_b+dt_c)*1e3:.1f} ms")
-
-    _, dt_p = timed(
-        "mono+pallas build (df64 sweep)", tl._train_core_pallas,
-        keys, kd, sd, top_type=top_type, leaf_type=leaf_type, B=B,
-        key_type=key_type, span=tl.default_span(n, B))
-    log(f"pallas vs xla staged: {dt_p*1e3:.1f} vs "
-        f"{(dt_a+dt_b+dt_c)*1e3:.1f} ms")
-
-    # --- micro: pieces of the sweep ---
-    w = leaf_params["w"]
-
+    # ---- micro ops ----
     @jax.jit
     def m_xconv(keys):
-        xraw = keys.astype(jnp.float64)
-        return (xraw - kd) * sd
+        return (keys.astype(jnp.float64) - kd) * sd
 
-    xn, _ = timed("  u64->f64 conv + normalize", m_xconv, keys)
+    xn, _ = timed("u64->f64 conv + normalize", m_xconv, keys)
+
+    timed("f64 cumsum", jax.jit(lambda v: jnp.cumsum(v)), xn)
+    timed("f32 cumsum", jax.jit(
+        lambda v: jnp.cumsum(v.astype(jnp.float32))), xn)
+
+    t = jnp.minimum((jnp.arange(n, dtype=jnp.int32)
+                     // max(n // B, 1)), B - 1)
+    t = jax.jit(lambda x: x)(t)
+    _force(t)
+    timed("i32 cummax", jax.jit(jax.lax.cummax), t)
+
+    timed("fixdups (cummax of where)", jax.jit(
+        lambda k: tl._fixdups_i32(k)), keys)
+
+    timed("run_lengths (2 scans)", jax.jit(
+        lambda k: tl._run_lengths_i32(k, n)), keys)
+
+    w = jnp.ones((B, 2), dtype=jnp.float64)
+    w = jax.jit(lambda x: x * 1.5)(w)
+    _force(w)
+
+    timed("2 param column gathers [n]", jax.jit(
+        lambda w, t: (seg.iso_take(w[:, 0], t),
+                      seg.iso_take(w[:, 1], t))), w, t)
 
     @jax.jit
-    def m_gather2(w, t):
-        return seg.iso_take(w[:, 0], t), seg.iso_take(w[:, 1], t)
+    def m_f64_linear_floor(a, b, xn):
+        pred = b * xn + a
+        p = jnp.floor(pred)
+        return jnp.where(jnp.isnan(p), 0.0,
+                         jnp.clip(p, 0.0, jnp.float64(n))).astype(jnp.int32)
 
-    (a_g, b_g), _ = timed("  2 param column gathers [n]", m_gather2, w, t)
+    ag = jnp.full((n,), 1.0, jnp.float64)
+    bg = jnp.full((n,), 2.0, jnp.float64)
+    ag = jax.jit(lambda x: x + 0)(ag); _force(ag)
+    bg = jax.jit(lambda x: x + 0)(bg); _force(bg)
+    timed("emulated-f64 linear+floor elementwise", m_f64_linear_floor,
+          ag, bg, xn)
 
     @jax.jit
-    def m_predict(a_g, b_g, xn, yfix):
-        pred_f = b_g * xn + a_g
-        p = jnp.floor(pred_f)
-        p = jnp.where(jnp.isnan(p), 0.0, jnp.clip(p, 0.0, jnp.float64(n)))
-        pred = p.astype(jnp.int32)
-        return jnp.abs(jnp.minimum(pred, n) -
-                       jnp.minimum(yfix, n))
+    def m_cubic_f64(xn):
+        a, b, c, d = (jnp.float64(0.1), jnp.float64(0.2),
+                      jnp.float64(0.3), jnp.float64(0.4))
+        return ((a * xn + b) * xn + c) * xn + d
 
-    err, _ = timed("  f64 predict+floor+err elementwise", m_predict,
-                   a_g, b_g, xn, yfix)
+    timed("emulated-f64 cubic poly elementwise", m_cubic_f64, xn)
 
-    timed("  range_max hierarchy [n]->[B]", jax.jit(
+    err = jnp.ones((n,), jnp.int32)
+    err = jax.jit(lambda x: x + 0)(err); _force(err)
+    starts = jnp.arange(B, dtype=jnp.int64) * (n // B)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int64)])
+    timed("range_max hierarchy [n]->[B]", jax.jit(
         lambda e, st, en: seg.range_max(e, st, en, 0)), err, starts, ends)
 
-    timed("  run_lengths elementwise+cummax", jax.jit(
-        functools_partial_runs), keys)
+    means = jnp.ones((B,), jnp.float64)
+    timed("leaf_constant_expand (scatter+cumsum)", jax.jit(
+        lambda m, st: seg.leaf_constant_expand(m, st, n)), means, starts)
 
-    @jax.jit
-    def m_cumsum(xn):
-        return jnp.cumsum(xn)
+    timed("range_sum (cumsum+2 gathers)", jax.jit(
+        lambda v, st, en: seg.range_sum(v, st, en)), xn, starts, ends)
 
-    timed("  f64 cumsum [n]", m_cumsum, xn)
+    # ---- stages ----
+    timed("stage A standalone (cubic top)", tl._stage_assign,
+          keys, kd, sd, top_type="cubic", B=B, key_type=key_type)
 
-    @jax.jit
-    def m_cumsum32(t):
-        return jnp.cumsum(t.astype(jnp.float32))
+    timed("XLA monolith (cubic,linear)", tl._train_core_mono,
+          keys, kd, sd, top_type="cubic", leaf_type="linear", B=B,
+          key_type=key_type)
 
-    timed("  f32 cumsum [n]", m_cumsum32, t)
-
-    @jax.jit
-    def m_cummax(t):
-        return jax.lax.cummax(t)
-
-    timed("  i32 cummax [n]", m_cummax, t)
-
-
-def functools_partial_runs(keys):
-    return tl._run_lengths_i32(keys, keys.shape[0])
+    timed("pallas monolith (cubic,linear)", tl._train_core_pallas,
+          keys, kd, sd, top_type="cubic", leaf_type="linear", B=B,
+          key_type=key_type, span=tl.default_span(n, B))
 
 
 if __name__ == "__main__":

@@ -108,6 +108,61 @@ def main():
     log(f"search rate xla:  {rate(res_x)/1e6:.2f} M/s")
     log(f"search rate df64: {rate(res_p)/1e6:.2f} M/s")
 
+    # cross-arithmetic: serve the df64-built index with the XLA path
+    res_p.eval_mode = "xla"
+    res_p._search_plan = None
+    idx = search(res_p, q)
+    log(f"xla-serve-of-df64-build mismatches: "
+        f"{int(jnp.sum(idx != true_q))}")
+    log(f"xla-serve-of-df64-build rate: {rate(res_p)/1e6:.2f} M/s")
+    res_p.eval_mode = "df64"
+    res_p._search_plan = None
+
+    # df64 serve piece timing: row gather vs eval kernel vs resolve
+    import time as _t
+    from rmi_tpu import lookup_fast as lf
+    from rmi_tpu.ops import eval_kernel, df64 as dfm
+    plan = lf.get_plan(res_p)
+    nq = 1 << 21
+    qq = jax.random.randint(jax.random.PRNGKey(9), (nq,), 0,
+                            np.iinfo(np.int64).max,
+                            dtype=jnp.int64).astype(jnp.uint64)
+    midx = jax.random.randint(jax.random.PRNGKey(10), (nq,), 0,
+                              res_p.branching_factor, dtype=jnp.int32)
+
+    def timeit(fn, *args):
+        out = fn(*args)
+        _ = jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        t0 = _t.time()
+        for _i in range(5):
+            out = fn(*args)
+            _ = jax.device_get(
+                jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        return (_t.time() - t0) / 5
+
+    g1 = jax.jit(lambda rows, m: rows[m])
+    dt = timeit(g1, plan.packed_rows, midx)
+    log(f"  [B,16] f32 row gather: {dt/nq*1e9:6.1f} ns/q")
+
+    rows = g1(plan.packed_rows, midx)
+    import rmi_tpu.keys as keymod
+    xn = jax.jit(lambda q: (keymod.as_float(q)
+                            - jnp.float64(res_p.norm_offset))
+                 * jnp.float64(res_p.norm_scale))(qq)
+
+    ek = jax.jit(functools_partial_eval(eval_kernel, res_p))
+    dt = timeit(ek, xn, rows)
+    log(f"  df64 eval kernel:      {dt/nq*1e9:6.1f} ns/q")
+
+
+def functools_partial_eval(eval_kernel, res_p):
+    import functools
+    from rmi_tpu.models import get_model
+    return functools.partial(
+        eval_kernel.leaf_eval_clamped,
+        leaf_type=res_p.leaf_type, ppm=get_model(res_p.leaf_type).ppm,
+        n=res_p.num_rmi_rows - 1)
+
 
 if __name__ == "__main__":
     main()

@@ -96,16 +96,23 @@ def _pack_leaf_rows(rmi) -> jax.Array:
 @jax.jit
 def _pack_leaf_rows_df64(w, leaf_errors) -> jax.Array:
     """[B, 16] f32 rows for df64 serving: hi columns 0..ppm, lo columns
-    ppm..2ppm, then the i32 max error BITCAST into an f32 lane — one
-    row gather still yields params AND error (the reference's zipped
-    layout, codegen.rs:288-316)."""
+    ppm..2ppm, then the max error as TWO 16-bit integer halves in f32
+    lanes — one row gather still yields params AND error (the
+    reference's zipped layout, codegen.rs:288-316).
+
+    The halves stay exact in f32 (< 2^16) and never form denormals;
+    bitcasting the i32 error into an f32 lane instead produces
+    denormal bit patterns that TPU float paths flush to zero,
+    silently shrinking search windows.
+    """
     from rmi_tpu.ops import df64
     wh, wl = df64.from_f64(jnp.asarray(w, dtype=jnp.float64))
     B, ppm = wh.shape
-    err_bits = jax.lax.bitcast_convert_type(
-        leaf_errors.astype(jnp.int32), jnp.float32)[:, None]
-    pad = jnp.zeros((B, 16 - 2 * ppm - 1), dtype=jnp.float32)
-    return jnp.concatenate([wh, wl, err_bits, pad], axis=1)
+    e = leaf_errors.astype(jnp.int64)
+    err_hi = (e >> 16).astype(jnp.float32)[:, None]
+    err_lo = (e & 0xFFFF).astype(jnp.float32)[:, None]
+    pad = jnp.zeros((B, 16 - 2 * ppm - 2), dtype=jnp.float32)
+    return jnp.concatenate([wh, wl, err_hi, err_lo, pad], axis=1)
 
 
 def _leaf_eval_rows(leaf_type: str, rows, x):
@@ -194,8 +201,8 @@ def _fast_search_df64(queries, top_params, packed_rows, off, s,
     guess = eval_kernel.leaf_eval_clamped(
         leaf_in, rows, leaf_type=leaf_type, ppm=ppm,
         n=n - 1).astype(jnp.int64)
-    err = jax.lax.bitcast_convert_type(rows[:, 2 * ppm],
-                                       jnp.int32).astype(jnp.int64)
+    err = (rows[:, 2 * ppm].astype(jnp.int64) * 65536
+           + rows[:, 2 * ppm + 1].astype(jnp.int64))
     return resolve(plan_levels, queries, guess, err, K=K, n=n,
                    level_lens=level_lens)
 

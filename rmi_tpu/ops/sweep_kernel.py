@@ -100,12 +100,14 @@ def _sweep_kernel(blk_lo_ref, xh_ref, xl_ref, y_ref, t_ref, w_ref,
     cp.start()
     cp.wait()
 
-    # per-block window-overflow flag: the block's last leaf id (t is
+    # window-overflow flag, max-accumulated across the (sequential)
+    # grid into one SMEM scalar: the block's last leaf id (t is
     # non-decreasing) must fall inside the DMA'd window.  Overflowed
     # blocks produce garbage errors; the caller discards the whole
     # build and retries with a wider span / the XLA sweep.
-    ovf_ref[0] = (t_ref[KB - 1] - lo > jnp.int32(rows - 1)
-                  ).astype(jnp.int32)
+    flag = (t_ref[KB - 1] - lo > jnp.int32(rows - 1)).astype(jnp.int32)
+    prev = jnp.where(g == 0, jnp.int32(0), ovf_ref[0, 0])
+    ovf_ref[0, 0] = jnp.maximum(prev, flag)
 
     tl = jnp.clip(t_ref[:] - lo, 0, rows - 1)
     onehot = (tl[:, None] ==
@@ -140,8 +142,8 @@ def _sweep_call(xh, xl, yfix, t, w_pad, blk_lo, *, leaf_type, ppm, n, B,
                      [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(pl.BlockSpec((KB,), lambda g, b: (g,),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1,), lambda g, b: (g,),
-                                    memory_space=pltpu.VMEM)),
+                       pl.BlockSpec((1, 1), lambda g, b: (0, 0),
+                                    memory_space=pltpu.SMEM)),
             scratch_shapes=[
                 pltpu.VMEM((min(span, B), 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
@@ -152,7 +154,7 @@ def _sweep_call(xh, xl, yfix, t, w_pad, blk_lo, *, leaf_type, ppm, n, B,
             kern,
             out_shape=(
                 jax.ShapeDtypeStruct((nblocks * KB,), jnp.int32),
-                jax.ShapeDtypeStruct((nblocks,), jnp.int32)),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32)),
             grid_spec=grid_spec, interpret=use_interpret(),
         )(blk_lo, xh, xl, yfix, t, w_pad)
 
@@ -198,4 +200,4 @@ def sweep_errors(xn, yfix, t, w_pad, blk_lo, *, leaf_type: str, n: int,
                            t.astype(jnp.int32), w_pad, blk_lo,
                            leaf_type=leaf_type, ppm=ppm, n=n, B=B,
                            span=span)
-    return err[:nfull], jnp.max(ovf)
+    return err[:nfull], ovf[0, 0]
