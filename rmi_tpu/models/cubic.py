@@ -173,7 +173,8 @@ def _top_spans(n):
     return _whole_array_spans(n)
 
 
-def _cubic_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
+def _cubic_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
+                      pallas_span=None):
     return _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw)
 
 

@@ -42,12 +42,14 @@ def exp1(v):
 # Batched segmented SLR
 # ---------------------------------------------------------------------------
 
-def _slr_ranges(xf, yf, spans, weights=None, trim=0):
+def _slr_ranges(xf, yf, spans, weights=None, trim=0, pallas_span=None):
     """Per-leaf (alpha, beta) least-squares over augmented spans.
 
     ``weights`` (0/1 per element) drop items (loglinear); ``trim``
     selects robust_linear's trimmed interior instead of the augmented
-    span.  Returns [B, 2] f64.
+    span.  Returns ([B, 2] f64, ovf-or-None); ``ovf`` is the Pallas
+    window-overflow scalar when ``pallas_span`` selects the kernel
+    fast path (None otherwise).
     """
     if trim:
         # robust_linear iterates data.iter().skip(bnd).take(len-2*bnd)
@@ -74,12 +76,23 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0):
     else:
         use = spans
 
+    ovf = None
+    use_kernel = (pallas_span is not None and use.B > 1
+                  and weights is None)
     if weights is None:
-        cx = seg.prefix_sum_exclusive(xf)
-        cy = seg.prefix_sum_exclusive(yf)
+        if use_kernel:
+            # Pallas fit path: blocked sums, no emulated-f64 cumsums
+            cx = cy = None
+            sx = seg.range_sum_blocked(xf, use.aug_starts, use.aug_ends)
+            sy = seg.range_sum_blocked(yf, use.aug_starts, use.aug_ends)
+        else:
+            # whole-array (top) fits skip the O(n) prefix sums entirely
+            # — range_sum reduces directly for single spans
+            cx = seg.prefix_sum_exclusive(xf) if use.B > 1 else None
+            cy = seg.prefix_sum_exclusive(yf) if use.B > 1 else None
+            sx = seg.range_sum(xf, use.aug_starts, use.aug_ends, cx)
+            sy = seg.range_sum(yf, use.aug_starts, use.aug_ends, cy)
         cnt = seg.aug_count(use)
-        sx = seg.range_sum(xf, use.aug_starts, use.aug_ends, cx)
-        sy = seg.range_sum(yf, use.aug_starts, use.aug_ends, cy)
     else:
         cnt, sx = seg.aug_masked_stats(use, xf, weights)
         _, sy = seg.aug_masked_stats(use, yf, weights)
@@ -88,7 +101,10 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0):
     mean_x = sx / safe_cnt
     mean_y = sy / safe_cnt
 
-    if weights is None and use.B > 1:
+    if use_kernel:
+        m2, c, ovf = seg.aug_centered_moments_pallas(
+            use, xf, yf, mean_x, mean_y, span=pallas_span)
+    elif weights is None and use.B > 1:
         m2, c = seg.aug_centered_moments_expanded(use, xf, yf, mean_x,
                                                   mean_y, cx, cy)
     else:
@@ -105,7 +121,7 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0):
     alpha = jnp.where(cnt == 0, 0.0,
                       jnp.where((cnt == 1) | var_zero, mean_y, alpha))
     beta = jnp.where((cnt <= 1) | var_zero, 0.0, beta)
-    return jnp.stack([alpha, beta], axis=-1)
+    return jnp.stack([alpha, beta], axis=-1), ovf
 
 
 def _whole_array_spans(n):
@@ -137,19 +153,23 @@ def _linear_predict(params, leaf_idx, keys_f):
 
 
 def _linear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
-    return _slr_ranges(keys_f, ys_f, _whole_array_spans(n))
+    return _slr_ranges(keys_f, ys_f, _whole_array_spans(n))[0]
 
 
-def _linear_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
-    return _slr_ranges(xf, yf, spans)
+def _linear_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
+                       pallas_span=None):
+    w, ovf = _slr_ranges(xf, yf, spans, pallas_span=pallas_span)
+    return {"w": w, "ovf": ovf} if ovf is not None else w
 
 
 def _robust_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
-    return _slr_ranges(keys_f, ys_f, _whole_array_spans(n), trim=1)
+    return _slr_ranges(keys_f, ys_f, _whole_array_spans(n), trim=1)[0]
 
 
-def _robust_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
-    return _slr_ranges(xf, yf, spans, trim=1)
+def _robust_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
+                       pallas_span=None):
+    w, ovf = _slr_ranges(xf, yf, spans, trim=1, pallas_span=pallas_span)
+    return {"w": w, "ovf": ovf} if ovf is not None else w
 
 
 def _const_linear(value_f):
@@ -184,12 +204,13 @@ def _log_targets(yf):
 
 def _loglinear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     ln, w = _log_targets(ys_f)
-    return _slr_ranges(keys_f, ln, _whole_array_spans(n), weights=w)
+    return _slr_ranges(keys_f, ln, _whole_array_spans(n), weights=w)[0]
 
 
-def _loglinear_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
+def _loglinear_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
+                          pallas_span=None):
     ln, w = _log_targets(yf)
-    return _slr_ranges(xf, ln, spans, weights=w)
+    return _slr_ranges(xf, ln, spans, weights=w)[0]
 
 
 def _loglinear_predict(params, leaf_idx, keys_f):
@@ -232,7 +253,8 @@ def _linear_spline_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     return jnp.stack([a, b]).reshape(1, 2)
 
 
-def _linear_spline_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
+def _linear_spline_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
+                              pallas_span=None):
     first, last = seg.aug_first_last(spans)
     cnt = seg.aug_count(spans)
     a, b = spline_from_endpoints(xf[first], yf[first], xf[last], yf[last],

@@ -63,7 +63,8 @@ def _normal_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     return _ncdf_ranges(keys_f, ys_f, _whole_array_spans(n))
 
 
-def _normal_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
+def _normal_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
+                       pallas_span=None):
     return _ncdf_ranges(xf, yf, spans)
 
 
@@ -84,7 +85,8 @@ def _lognormal_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     return _ncdf_ranges(_ln_or_zero(keys_f), ys_f, _whole_array_spans(n))
 
 
-def _lognormal_fit_leaves(xf, yf, spans, keys_f, xf_raw=None):
+def _lognormal_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
+                          pallas_span=None):
     return _ncdf_ranges(_ln_or_zero(xf), yf, spans)
 
 

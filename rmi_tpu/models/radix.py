@@ -209,7 +209,8 @@ _RT_LEAF_CAP = 1 << 26   # max total table entries across leaves (256MB)
 
 
 def _make_radix_table_fit_leaves(bits: int):
-    def fit_leaves(xf, yf, spans, keys_f, xf_raw=None, keys_raw=None):
+    def fit_leaves(xf, yf, spans, keys_f, xf_raw=None, keys_raw=None,
+                   pallas_span=None):
         """Per-leaf hint tables (RadixTable::new per leaf container,
         radix.rs:90-120, placeable anywhere per radix.rs:167-169).
 

@@ -1,0 +1,128 @@
+"""Pallas window-select kernel: per-key rows of a [B, 128] leaf table.
+
+The generic building block behind the Pallas build path: leaf ids over
+the sorted key array are non-decreasing, so each 2048-key block reads
+one contiguous window of the table (single DMA) and selects per-key
+values with a rank-3 one-hot matmul at HIGHEST precision (exact for
+finite f32 tables, probes/probe_pallas5.py H1/H7).
+
+Used by the fit stage to expand per-leaf means to per-key values —
+the scatter+cumsum expansion (utils/segments.leaf_constant_expand)
+costs ~9ns/key in emulated f64 and an f32 variant would drift by
+B * eps_f32 (fatal for centered moments); this kernel is exact
+(selects the true f32-pair means) at ~2-3ns/key.
+
+Same window/overflow contract as the sweep kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rmi_tpu.ops.sweep_kernel import KB, use_interpret
+
+
+def _select_kernel(blk_lo_ref, t_ref, w_ref, out_refs, ovf_ref,
+                   wloc_ref, sem, *, ncols: int, B: int, span: int):
+    # out_refs: the nested tuple of ncols output refs (pallas preserves
+    # the out_shape pytree structure)
+    g = pl.program_id(0)
+    rows = min(span, B)
+    SUB = KB // 128
+    lo = jnp.minimum(blk_lo_ref[g], jnp.int32(max(B - rows, 0)))
+
+    cp = pltpu.make_async_copy(w_ref.at[pl.ds(lo, rows), :], wloc_ref, sem)
+    cp.start()
+    cp.wait()
+
+    flag = (t_ref[SUB - 1, 127] - lo > jnp.int32(rows - 1)
+            ).astype(jnp.int32)
+    prev = jnp.where(g == 0, jnp.int32(0), ovf_ref[0, 0])
+    ovf_ref[0, 0] = jnp.maximum(prev, flag)
+
+    tl = jnp.clip(t_ref[:] - lo, 0, rows - 1)
+    onehot = (tl[:, :, None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (SUB, 128, rows), 2)
+              ).astype(jnp.float32)
+    wn = wloc_ref[:][:, :ncols]
+    sel = jax.lax.dot_general(
+        onehot, wn, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)       # [SUB, 128, ncols]
+    for c in range(ncols):
+        out_refs[c][:] = sel[:, :, c]
+
+
+@functools.partial(jax.jit, static_argnames=("ncols", "B", "span"))
+def _select_call(t, w_pad, blk_lo, *, ncols, B, span):
+    n = t.shape[0]
+    nblocks = n // KB
+    SUB = KB // 128
+    t2 = t.reshape(-1, 128)
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec((SUB, 128), lambda g, b: (g, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(
+                tuple(pl.BlockSpec((SUB, 128), lambda g, b: (g, 0),
+                                   memory_space=pltpu.VMEM)
+                      for _ in range(ncols)),
+                pl.BlockSpec((1, 1), lambda g, b: (0, 0),
+                             memory_space=pltpu.SMEM)),
+            scratch_shapes=[
+                pltpu.VMEM((min(span, B), 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ])
+        kern = functools.partial(_select_kernel, ncols=ncols, B=B,
+                                 span=span)
+        outs, ovf = pl.pallas_call(
+            kern,
+            out_shape=(
+                tuple(jax.ShapeDtypeStruct((nblocks * SUB, 128),
+                                           jnp.float32)
+                      for _ in range(ncols)),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+            grid_spec=grid_spec, interpret=use_interpret(),
+        )(blk_lo, t2, w_pad)
+    return [o.reshape(-1) for o in outs], ovf[0, 0]
+
+
+def window_select(t, cols, *, B: int, span: int):
+    """Per-key selected values for each [B] f64 column in ``cols``.
+
+    Returns ([n] f64 per column, ovf scalar): each column is split into
+    an f32 (hi, lo) pair for exact transport through the f32 table.
+    """
+    from rmi_tpu.ops import df64
+    n = t.shape[0]
+    pairs = []
+    for c in cols:
+        hi, lo = df64.from_f64(c)
+        pairs += [hi, lo]
+    ncols = len(pairs)
+    assert ncols <= 128
+    pad = jnp.zeros((cols[0].shape[0], 128 - ncols), jnp.float32)
+    w_pad = jnp.concatenate([p[:, None] for p in pairs] + [pad], axis=1)
+
+    npad = (-n) % KB
+    tp = jnp.concatenate([t.astype(jnp.int32),
+                          jnp.broadcast_to(t[-1:].astype(jnp.int32),
+                                           (npad,))]) if npad \
+        else t.astype(jnp.int32)
+    blk_lo = tp[::KB]
+    outs, ovf = _select_call(tp, w_pad, blk_lo, ncols=ncols, B=B,
+                             span=span)
+    result = []
+    for i in range(len(cols)):
+        hi = outs[2 * i][:n]
+        lo = outs[2 * i + 1][:n]
+        result.append(hi.astype(jnp.float64) + lo.astype(jnp.float64))
+    return result, ovf

@@ -94,6 +94,7 @@ def _sweep_kernel(blk_lo_ref, xh_ref, xl_ref, y_ref, t_ref, w_ref,
                   ppm: int, n: int, B: int, span: int):
     g = pl.program_id(0)
     rows = min(span, B)
+    SUB = KB // 128
     lo = jnp.minimum(blk_lo_ref[g], jnp.int32(max(B - rows, 0)))
 
     cp = pltpu.make_async_copy(w_ref.at[pl.ds(lo, rows), :], wloc_ref, sem)
@@ -105,22 +106,27 @@ def _sweep_kernel(blk_lo_ref, xh_ref, xl_ref, y_ref, t_ref, w_ref,
     # non-decreasing) must fall inside the DMA'd window.  Overflowed
     # blocks produce garbage errors; the caller discards the whole
     # build and retries with a wider span / the XLA sweep.
-    flag = (t_ref[KB - 1] - lo > jnp.int32(rows - 1)).astype(jnp.int32)
+    flag = (t_ref[SUB - 1, 127] - lo > jnp.int32(rows - 1)
+            ).astype(jnp.int32)
     prev = jnp.where(g == 0, jnp.int32(0), ovf_ref[0, 0])
     ovf_ref[0, 0] = jnp.maximum(prev, flag)
 
-    tl = jnp.clip(t_ref[:] - lo, 0, rows - 1)
-    onehot = (tl[:, None] ==
-              jax.lax.broadcasted_iota(jnp.int32, (KB, rows), 1)
+    # Everything stays 2-D [SUB, 128]: Mosaic runs 1-D vectors at ~1/3
+    # of VPU throughput (probes/probe_pallas5.py H2 vs probe_pallas4
+    # G6), and the rank-3 one-hot select keeps full lanes.
+    tl = jnp.clip(t_ref[:] - lo, 0, rows - 1)             # [SUB, 128]
+    onehot = (tl[:, :, None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (SUB, 128, rows), 2)
               ).astype(jnp.float32)
+    wn = wloc_ref[:][:, :2 * ppm]   # VALUE lane-slice (probe H7)
     sel = jax.lax.dot_general(
-        onehot, wloc_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        onehot, wn,
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)              # [KB, 128]
+        precision=jax.lax.Precision.HIGHEST)         # [SUB, 128, 2ppm]
 
     def cols(j):
-        return sel[:, j], sel[:, ppm + j]
+        return sel[:, :, j], sel[:, :, ppm + j]
 
     ph, plo = leaf_eval_df64(leaf_type, cols, xh_ref[:], xl_ref[:])
     pred = df64.floor_to_i32(ph, plo, 0, n)               # [0, n]
@@ -133,14 +139,20 @@ def _sweep_kernel(blk_lo_ref, xh_ref, xl_ref, y_ref, t_ref, w_ref,
 def _sweep_call(xh, xl, yfix, t, w_pad, blk_lo, *, leaf_type, ppm, n, B,
                 span):
     nblocks = xh.shape[0] // KB
+    SUB = KB // 128
+    # 2-D [rows, 128] views (row-major reshape: free relayout)
+    xh2 = xh.reshape(-1, 128)
+    xl2 = xl.reshape(-1, 128)
+    y2 = yfix.reshape(-1, 128)
+    t2 = t.reshape(-1, 128)
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblocks,),
-            in_specs=[pl.BlockSpec((KB,), lambda g, b: (g,),
+            in_specs=[pl.BlockSpec((SUB, 128), lambda g, b: (g, 0),
                                    memory_space=pltpu.VMEM)] * 4 +
                      [pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=(pl.BlockSpec((KB,), lambda g, b: (g,),
+            out_specs=(pl.BlockSpec((SUB, 128), lambda g, b: (g, 0),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((1, 1), lambda g, b: (0, 0),
                                     memory_space=pltpu.SMEM)),
@@ -150,13 +162,14 @@ def _sweep_call(xh, xl, yfix, t, w_pad, blk_lo, *, leaf_type, ppm, n, B,
             ])
         kern = functools.partial(_sweep_kernel, leaf_type=leaf_type,
                                  ppm=ppm, n=n, B=B, span=span)
-        return pl.pallas_call(
+        err2, ovf = pl.pallas_call(
             kern,
             out_shape=(
-                jax.ShapeDtypeStruct((nblocks * KB,), jnp.int32),
+                jax.ShapeDtypeStruct((nblocks * SUB, 128), jnp.int32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32)),
             grid_spec=grid_spec, interpret=use_interpret(),
-        )(blk_lo, xh, xl, yfix, t, w_pad)
+        )(blk_lo, xh2, xl2, y2, t2, w_pad)
+    return err2.reshape(-1), ovf
 
 
 def pad_param_table(w: jax.Array) -> jax.Array:

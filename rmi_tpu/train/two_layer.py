@@ -139,8 +139,10 @@ def _as_dict(params):
 
 def _predict_params(leaf_params):
     """The device-predict view of a leaf-param dict (drops host-only
-    generator aux, keeps everything the model's predict reads)."""
-    return {k: v for k, v in leaf_params.items() if k != "aux"}
+    generator aux / kernel overflow flags, keeps everything the
+    model's predict reads)."""
+    return {k: v for k, v in leaf_params.items()
+            if k not in ("aux", "ovf")}
 
 
 def _leaf_eval_cols(leaf_type: str, cols, x):
@@ -190,7 +192,7 @@ def _assign_body(keys, kminf, s, *, top_type: str, B: int,
 # ---------------------------------------------------------------------------
 
 def _fit_body(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
-              key_type: KeyType):
+              key_type: KeyType, pallas_span=None):
     n = keys.shape[0]
     mleaf = get_model(leaf_type)
     xraw = keymod.as_float(keys)
@@ -205,7 +207,7 @@ def _fit_body(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
     else:
         leaf_params = _as_dict(mleaf.fit_leaves(
             leaf_in, yfix.astype(jnp.float64), spans, leaf_in,
-            xf_raw=xraw))
+            xf_raw=xraw, pallas_span=pallas_span))
     next_idx, next_key, prev_key = lower_bound_fills(spans, keys, key_type)
 
     # empty-leaf constant patch (two_layer.rs:182-202) — the reference's
@@ -394,7 +396,9 @@ def _train_core_pallas(keys, kminf, s, *, top_type: str, leaf_type: str,
                                        B=B, key_type=key_type)
     (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
      nonempty) = _fit_body(keys, yfix, t, kminf, s, leaf_type=leaf_type,
-                           B=B, key_type=key_type)
+                           B=B, key_type=key_type, pallas_span=span)
+    leaf_params = dict(leaf_params)
+    fit_ovf = leaf_params.pop("ovf", jnp.int32(0))
     xraw = keymod.as_float(keys)
     xn = (xraw - kminf) * s
     leaf_in = model_float_input(mleaf, xn, xraw)
@@ -403,6 +407,7 @@ def _train_core_pallas(keys, kminf, s, *, top_type: str, leaf_type: str,
     err, ovf = sweep_kernel.sweep_errors(
         leaf_in, yfix, t, w_pad, blk_lo, leaf_type=leaf_type, n=n, B=B,
         ppm=mleaf.ppm, span=span)
+    ovf = jnp.maximum(ovf, fit_ovf)
     pred_up, pred_lo = _probe_df64_body(
         n, w_pad, next_key, prev_key, kminf, s, leaf_type=leaf_type,
         key_type=key_type)
@@ -415,7 +420,7 @@ def _train_core_pallas(keys, kminf, s, *, top_type: str, leaf_type: str,
 _stage_assign = functools.partial(jax.jit, static_argnames=(
     "top_type", "B", "key_type"))(_assign_body)
 _stage_fit = functools.partial(jax.jit, static_argnames=(
-    "leaf_type", "B", "key_type"))(_fit_body)
+    "leaf_type", "B", "key_type", "pallas_span"))(_fit_body)
 _stage_sweep = functools.partial(jax.jit, static_argnames=(
     "leaf_type", "B", "key_type"))(_sweep_body)
 

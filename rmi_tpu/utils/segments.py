@@ -46,9 +46,83 @@ def prefix_sum_exclusive(values: jax.Array) -> jax.Array:
 
 def range_sum(values: jax.Array, starts: jax.Array, ends: jax.Array,
               _cache: jax.Array | None = None) -> jax.Array:
-    """Sum of values[starts[j]:ends[j]] for each j, via prefix sums."""
+    """Sum of values[starts[j]:ends[j]] for each j, via prefix sums.
+
+    Single-range calls over the full array (top-model fits, B == 1
+    whole-array spans) skip the O(n) prefix sum — a direct reduction
+    is ~4x cheaper than an emulated-f64 cumsum on TPU
+    (probes/probe_build_phases.py).
+    """
+    if _cache is None and starts.shape[0] == 1:
+        n = values.shape[0]
+        # i32 index math: emulated-i64 compares cost ~10x on TPU
+        idx = jnp.arange(n, dtype=jnp.int32)
+        s0 = starts[0].astype(jnp.int32)
+        e0 = ends[0].astype(jnp.int32)
+        mask = (idx >= s0) & (idx < e0)
+        return jnp.sum(jnp.where(mask, values.astype(jnp.float64), 0.0),
+                       keepdims=True)
     c = prefix_sum_exclusive(values) if _cache is None else _cache
     return c[ends] - c[starts]
+
+
+_RS_BLK = 512
+
+
+def blocked_partials(values: jax.Array):
+    """(rows [nb, 512] f64, cb [nb+1] exclusive block prefix) — the
+    shareable half of range_sum_blocked."""
+    n = values.shape[0]
+    v64 = values.astype(jnp.float64)
+    nb = -(-n // _RS_BLK)
+    pad = nb * _RS_BLK - n
+    vp = jnp.concatenate([v64, jnp.zeros((pad,), jnp.float64)]) \
+        if pad else v64
+    rows = vp.reshape(nb, _RS_BLK)
+    bs = jnp.sum(rows, axis=1)
+    cb = jnp.concatenate([jnp.zeros((1,), jnp.float64), jnp.cumsum(bs)])
+    return rows, cb
+
+
+def range_sum_blocked(values: jax.Array, starts: jax.Array,
+                      ends: jax.Array, partials=None) -> jax.Array:
+    """Per-range sums via block partials instead of a global prefix sum.
+
+    An emulated-f64 cumsum costs ~6.4ns/element on TPU; a same-dtype
+    REDUCTION costs ~1.5ns/element (probes/probe_build_phases.py).  So:
+    512-element block sums (one reduction pass), a cumsum over the
+    tiny [n/512] partials, and per-range head/tail corrections via two
+    [B, 512] row gathers with lane masks.  Summation order differs
+    from the prefix-sum path by normal f64 rounding only.
+    """
+    rows, cb = blocked_partials(values) if partials is None else partials
+    nb = rows.shape[0]
+
+    s = starts.astype(jnp.int32)
+    e = ends.astype(jnp.int32)
+    sb = s >> 9
+    eb = e >> 9                       # block of the (exclusive) end
+    s_off = s & (_RS_BLK - 1)
+    e_off = e & (_RS_BLK - 1)
+
+    lanes = jnp.arange(_RS_BLK, dtype=jnp.int32)
+    same = sb == eb
+    # head row: lanes [s_off, 512) — or [s_off, e_off) when same-block
+    head_rows = rows[jnp.clip(sb, 0, nb - 1)]
+    head_hi = jnp.where(same, e_off, _RS_BLK)
+    head_mask = ((lanes[None, :] >= s_off[:, None])
+                 & (lanes[None, :] < head_hi[:, None]))
+    head = jnp.sum(jnp.where(head_mask, head_rows, 0.0), axis=1)
+    # tail row: lanes [0, e_off), only when a different block
+    tail_rows = rows[jnp.clip(eb, 0, nb - 1)]
+    tail_mask = ((lanes[None, :] < e_off[:, None])
+                 & (~same)[:, None] & (eb < nb)[:, None])
+    tail = jnp.sum(jnp.where(tail_mask, tail_rows, 0.0), axis=1)
+    # interior full blocks (sb+1 .. eb-1)
+    lo_blk = jnp.minimum(sb + 1, eb)
+    interior = cb[eb] - cb[lo_blk]
+    out = jnp.where(s < e, head + tail + interior, 0.0)
+    return out
 
 
 @dataclasses.dataclass
@@ -366,6 +440,42 @@ def aug_centered_moments_expanded(spans: Spans, x, y, mean_x, mean_y,
     pxx, pxy = edge_terms(spans.starts - 1, spans.has_prev)
     nxx, nxy = edge_terms(spans.ends, spans.has_next)
     return m2 + pxx + nxx, c + pxy + nxy
+
+
+def aug_centered_moments_pallas(spans: Spans, x, y, mean_x, mean_y, *,
+                                span: int):
+    """(m2, c, ovf): centered moments with per-key means expanded by
+    the Pallas window-select kernel (exact f32-pair means — no cumsum
+    drift) and blocked range sums (no emulated-f64 cumsums).
+
+    Centering on the f32-pair value c' instead of the f64 mean m moves
+    the moments by ~cnt * (c'-m)^2 with |c'-m| <= 2^-48|m| —
+    far below f64 summation noise, so no shift correction is needed.
+    Edge (overlap) contributions use the exact means as before.
+    """
+    from rmi_tpu.ops.select_kernel import window_select
+    (mx_k, my_k), ovf = window_select(spans.t, [mean_x, mean_y],
+                                      B=spans.B, span=span)
+    dx = x - mx_k
+    dy = y - my_k
+    dxx = dx * dx
+    dxy = dx * dy
+    px = blocked_partials(dxx)
+    py = blocked_partials(dxy)
+    i_m2 = range_sum_blocked(dxx, spans.starts, spans.ends, px)
+    i_c = range_sum_blocked(dxy, spans.starts, spans.ends, py)
+
+    def edge_terms(idx, present):
+        i = jnp.clip(idx, 0, spans.n - 1)
+        ex = x[i] - mean_x
+        exx = ex * ex
+        exy = ex * (y[i] - mean_y)
+        return (jnp.where(present, exx, 0.0),
+                jnp.where(present, exy, 0.0))
+
+    pxx, pxy = edge_terms(spans.starts - 1, spans.has_prev)
+    nxx, nxy = edge_terms(spans.ends, spans.has_next)
+    return i_m2 + pxx + nxx, i_c + pxy + nxy, ovf
 
 
 def fill_forward(values_list, starts, nonempty, n: int):

@@ -255,5 +255,8 @@ def test_restrictions_enforced():
     ds = RMIDataset.from_numpy(keys)
     with pytest.raises(ValueError):
         train(ds, "linear,radix", 10)   # radix MustBeTop
-    with pytest.raises(NotImplementedError):
-        train(ds, "linear,radix18", 10)  # table leaves unsupported
+    # radix hint tables are restriction-None (radix.rs:167-169) and ARE
+    # supported as leaves (tests/test_radix_leaf.py); only oversized
+    # table layers are rejected.
+    with pytest.raises(ValueError):
+        train(ds, "linear,radix26", 1 << 12)  # B * 2^26 entries: too big
