@@ -133,6 +133,7 @@ def run(n, t_start):
         "build_time_s": warm,
         "build_cold_s": cold,
         "build_speedup_vs_reference": ref_build_s / warm,
+        "build_eval_mode": res.eval_mode,
         "model_max_error": int(res.model_max_error),
         "model_avg_log2_error": float(res.model_avg_log2_error),
         "rmi_size_bytes": int(rmi_size(res)),
@@ -140,6 +141,31 @@ def run(n, t_start):
         "n_keys": n,
         "total_wall_s": time.time() - t_start,
     }
+
+    # secondary configs (BASELINE.md exercise list) at a smaller n —
+    # enabled with RMI_BENCH_EXTRAS=1 (adds several compiles)
+    if os.environ.get("RMI_BENCH_EXTRAS") == "1":
+        extras = {}
+        n2 = min(n, 25_000_000)
+        keys2 = keys[:n2]
+        ds2 = RMIDataset(keys=keys2, key_type=KeyType.U64)
+        for espec, ebr in (("linear,linear", 4096),
+                           ("radix,linear", 1024),
+                           ("robust_linear,linear", 262144)):
+            try:
+                r0 = train(ds2, espec, ebr)
+                t0 = time.time()
+                r0 = train(ds2, espec, ebr)
+                ewarm = time.time() - t0
+                extras[f"{espec}_{ebr}"] = {
+                    "build_s": round(ewarm, 3),
+                    "max_err": int(r0.model_max_error),
+                    "avg_log2": round(float(r0.model_avg_log2_error), 4),
+                }
+            except Exception as e:  # noqa: BLE001
+                extras[f"{espec}_{ebr}"] = {"error": str(e)[:80]}
+        out["extras"] = extras
+
     print(json.dumps(out), flush=True)
 
 

@@ -60,7 +60,8 @@ def _coeffs(xmin, ymin, xmax, ymax, m1, m2):
     return a * ys, b * ys, c * ys, d * ys + ymin
 
 
-def _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw, ep_yf=None):
+def _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw, ep_yf=None,
+                      pallas_span=None):
     """Cubic fit over augmented spans -> dict with normalized-domain
     params 'w' [B,4] plus generator aux for raw-coefficient recovery.
 
@@ -120,8 +121,47 @@ def _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw, ep_yf=None):
                                        cnt)
     lin_params = jnp.stack([ls_a, ls_b], axis=-1)
 
-    c_err = _abs_err_sum(cubic_params, cubic_predict, xf, yf, spans)
-    l_err = _abs_err_sum(lin_params, _linear_predict, xf, yf, spans)
+    ovf = None
+    if pallas_span is not None and spans.B > 1:
+        # Pallas fit path: select the candidate params per key via the
+        # window kernel (f32 pairs, exact to 2^-48 — only the L1
+        # COMPARISON uses them; the fitted params stay exact f64), eval
+        # in fast XLA f64 elementwise, reduce with blocked range sums.
+        # Replaces the ~55ns/key per-key param gathers of _abs_err_sum.
+        from rmi_tpu.ops.select_kernel import window_select
+        from rmi_tpu.utils.segments import range_sum_blocked
+        sel, ovf = window_select(
+            spans.t, [a, b, c, d, ls_a, ls_b], B=spans.B,
+            span=pallas_span)
+        ca, cb_, cc, cd, la, lb = sel
+        pred_c = ((ca * xf + cb_) * xf + cc) * xf + cd
+        pred_l = lb * xf + la
+        dc = jnp.abs(pred_c - yf)
+        dl = jnp.abs(pred_l - yf)
+        c_err = range_sum_blocked(dc, spans.starts, spans.ends)
+        l_err = range_sum_blocked(dl, spans.starts, spans.ends)
+        leaf_ids = jnp.arange(spans.B)
+        ip = jnp.clip(spans.starts - 1, 0, spans.n - 1)
+        inx = jnp.clip(spans.ends, 0, spans.n - 1)
+        c_err = c_err + jnp.where(
+            spans.has_prev,
+            jnp.abs(cubic_predict(cubic_params, leaf_ids, xf[ip])
+                    - yf[ip]), 0.0)
+        c_err = c_err + jnp.where(
+            spans.has_next,
+            jnp.abs(cubic_predict(cubic_params, leaf_ids, xf[inx])
+                    - yf[inx]), 0.0)
+        l_err = l_err + jnp.where(
+            spans.has_prev,
+            jnp.abs(_linear_predict(lin_params, leaf_ids, xf[ip])
+                    - yf[ip]), 0.0)
+        l_err = l_err + jnp.where(
+            spans.has_next,
+            jnp.abs(_linear_predict(lin_params, leaf_ids, xf[inx])
+                    - yf[inx]), 0.0)
+    else:
+        c_err = _abs_err_sum(cubic_params, cubic_predict, xf, yf, spans)
+        l_err = _abs_err_sum(lin_params, _linear_predict, xf, yf, spans)
 
     lin_as_cubic = jnp.stack(
         [jnp.zeros_like(ls_a), jnp.zeros_like(ls_a), ls_b, ls_a], axis=-1)
@@ -139,7 +179,10 @@ def _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw, ep_yf=None):
         "ymin": ep_yf[first], "ymax": ep_yf[last],
         "m1": m1, "m2": m2, "case": case,
     }
-    return {"w": w, "aux": aux}
+    out = {"w": w, "aux": aux}
+    if ovf is not None:
+        out["ovf"] = ovf
+    return out
 
 
 def _abs_err_sum(params, predict, xf, yf, spans):
@@ -175,7 +218,8 @@ def _top_spans(n):
 
 def _cubic_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
                       pallas_span=None):
-    return _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw)
+    return _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw,
+                             pallas_span=pallas_span)
 
 
 def _const_cubic(value_f):
