@@ -26,8 +26,9 @@ os.environ.setdefault("JAX_TRACEBACK_FILTERING", "auto")
 # expansion); caching across processes amortizes that to one-time.
 # Disable with RMI_NO_COMPILE_CACHE=1.
 if not os.environ.get("RMI_NO_COMPILE_CACHE"):
+    _default_cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                       "/tmp/rmi_tpu_jax_cache"))
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", _default_cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
