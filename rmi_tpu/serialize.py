@@ -320,7 +320,7 @@ def load_artifact(meta_path: str):
         models=meta["models"], branching_factor=B, key_type=key_type,
         num_rmi_rows=meta["num_rmi_rows"],
         num_data_rows=meta["num_data_rows"],
-        top_params=tp, leaf_params=leaf_params, leaf_errors=leaf_errors,
+        raw_top=tp, raw_leaf=leaf_params, leaf_errors=leaf_errors,
         model_avg_error=m["model_avg_error"],
         model_avg_l2_error=m["model_avg_l2_error"],
         model_avg_log2_error=m["model_avg_log2_error"],

@@ -23,7 +23,11 @@ class TrainedRMI:
     Two parameter views are kept:
       * ``top_params`` / ``leaf_params`` — RAW key-domain parameters in
         the reference's layout (what the artifact, generated C++ and
-        native runtime consume);
+        native runtime consume).  These are computed LAZILY on first
+        access: the device->host transfer + exact f64 conversion is an
+        artifact-layout concern (the reference does it at codegen
+        time, codegen.rs:450-558) and costs ~0.3-0.5s over tunneled
+        devices — serving never needs it.
       * ``device_top_params`` / ``device_leaf_params`` — normalized
         key-domain device arrays used by the JAX serving path, with
         ``norm_offset`` / ``norm_scale`` defining
@@ -35,8 +39,8 @@ class TrainedRMI:
     key_type: KeyType
     num_rmi_rows: int
     num_data_rows: int
-    top_params: Dict[str, Any]
-    leaf_params: Any                          # [B, ppm] raw f64
+    raw_top: Optional[Dict[str, Any]]
+    raw_leaf: Any                             # [B, ppm] raw f64
     leaf_errors: Optional[jax.Array]
     model_avg_error: float
     model_avg_l2_error: float
@@ -58,6 +62,8 @@ class TrainedRMI:
     # leaves with the same arithmetic or the bound contract can break
     # by one at floor() boundaries.
     eval_mode: str = "xla"
+    # deferred raw-parameter conversion: () -> (raw_top, raw_leaf)
+    raw_thunk: Optional[Any] = None
 
     @property
     def top_type(self) -> str:
@@ -66,6 +72,21 @@ class TrainedRMI:
     @property
     def leaf_type(self) -> str:
         return self.models.split(",")[-1]
+
+    def _materialize_raw(self):
+        if self.raw_thunk is not None:
+            self.raw_top, self.raw_leaf = self.raw_thunk()
+            self.raw_thunk = None
+
+    @property
+    def top_params(self) -> Dict[str, Any]:
+        self._materialize_raw()
+        return self.raw_top
+
+    @property
+    def leaf_params(self):
+        self._materialize_raw()
+        return self.raw_leaf
 
 
 def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
@@ -85,29 +106,38 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
         data.keys, data.key_type, None, top_type, leaf_type,
         branch_factor)
 
-    # one batched host transfer: metrics + everything raw-parameter
-    # conversion needs (per-transfer round trips cost ~30ms each on the
-    # tunneled device)
-    host = jax.device_get((metrics, leaf_params.get("w"),
-                           leaf_params.get("aux"), patch, next_idx,
-                           {k: v for k, v in top_params.items()
-                            if k != "aux"}, top_params.get("aux")))
-    (m, leaf_w_np, leaf_aux, patch_np, next_idx_np, top_np,
-     top_aux) = host
+    # metrics transfer (small) also fences the build for build_time
+    m = jax.device_get(metrics)
     build_time = time.monotonic_ns() - start
 
-    if leaf_w_np is None:
+    if leaf_params.get("w") is None:
         # int-parameter leaves (radix hint tables): domain-free integer
-        # params pass through unchanged; serving uses the device dict.
-        raw_leaf = {k: np.asarray(v) for k, v in leaf_params.items()}
-        dev_leaf = dict(leaf_params)
+        # params; serving uses the device dict.
+        dev_leaf = {k: v for k, v in leaf_params.items() if k != "ovf"}
     else:
-        # raw-domain parameters for the artifact (host, true f64)
-        raw_leaf = convert.raw_leaf_params(
-            leaf_type, leaf_w_np, leaf_aux, patch_np,
-            np.asarray(next_idx_np).astype(np.float64), kminf, s)
         dev_leaf = {"w": leaf_params["w"]}
-    raw_top = convert.raw_top_params(top_type, top_np, top_aux, kminf, s)
+
+    def raw_thunk(leaf_params=leaf_params, top_params=top_params,
+                  patch=patch, next_idx=next_idx):
+        # one batched host transfer of everything raw-parameter
+        # conversion needs (per-transfer round trips cost ~30ms on
+        # tunneled devices), then exact host-f64 conversion
+        host = jax.device_get((leaf_params.get("w"),
+                               leaf_params.get("aux"), patch, next_idx,
+                               {k: v for k, v in top_params.items()
+                                if k != "aux"}, top_params.get("aux")))
+        (leaf_w_np, leaf_aux, patch_np, next_idx_np, top_np,
+         top_aux) = host
+        if leaf_w_np is None:
+            raw_leaf = {k: np.asarray(v) for k, v in leaf_params.items()
+                        if k != "ovf"}
+        else:
+            raw_leaf = convert.raw_leaf_params(
+                leaf_type, leaf_w_np, leaf_aux, patch_np,
+                np.asarray(next_idx_np).astype(np.float64), kminf, s)
+        raw_top = convert.raw_top_params(top_type, top_np, top_aux,
+                                         kminf, s)
+        return raw_top, raw_leaf
 
     return TrainedRMI(
         models=model_spec,
@@ -115,8 +145,9 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
         key_type=data.key_type,
         num_rmi_rows=data.n,
         num_data_rows=data.n,
-        top_params=raw_top,
-        leaf_params=raw_leaf,
+        raw_top=None,
+        raw_leaf=None,
+        raw_thunk=raw_thunk,
         leaf_errors=leaf_errors,
         model_avg_error=float(m["model_avg_error"]),
         model_avg_l2_error=float(m["model_avg_l2_error"]),
