@@ -137,9 +137,10 @@ def _leaf_eval_rows(leaf_type: str, rows, x):
 class SearchPlan:
     """Precomputed row views + level schedule for one RMI."""
 
-    def __init__(self, keys: jax.Array, max_err: int):
+    def __init__(self, keys: jax.Array, max_err: int, levels: bool = True):
         self.n = int(keys.shape[0])
         self.max_err = int(max_err)
+        self.kind = "hier"
         # level count: start level K with (2e)/64^K + 2 <= 64
         K = 0
         while (2 * self.max_err) / (LEVEL_FAN ** K) + 2 > LEVEL_FAN:
@@ -148,10 +149,98 @@ class SearchPlan:
         self.levels: List[jax.Array] = []      # row views, level 0..K
         self.level_lens: List[int] = []
         lvl = keys
-        for _ in range(K + 1):
+        for _ in range(K + 1 if levels else 1):
             self.levels.append(_overlapped_rows(lvl))
             self.level_lens.append(int(lvl.shape[0]))
             lvl = lvl[::LEVEL_FAN]
+
+
+# widest leaf row for the packed (2-gather) plan: 1 base lane + S
+# sample lanes, all u64.  1KB rows gather at the same issue rate as
+# narrow ones, so the cap is generous.
+_PACKED_MAX_LANES = 128
+
+# tops provably MONOTONE over the full query domain — the correctness
+# condition of the packed plan (lb(q) in [start_j, next_idx_j] for
+# every q routed to leaf j; see _fast_search_packed).  loglinear and
+# normal/lognormal tops are excluded: exp1(v) = (1+v/64)^64 turns
+# around below v = -64 (even power), making extreme-tail predictions
+# non-monotone.
+# Monotonicity holds on the KEY DOMAIN [kmin, kmax]: linear-family
+# tops are globally monotone (beta >= 0 on sorted data); the cubic is
+# Fritsch-Carlson-clamped ON ITS INTERVAL (cubic_spline.rs:67-72) but
+# can turn around beyond it; radix/bradix lose high bits for queries
+# outside the keys' common prefix.  The packed search therefore ROUTES
+# with domain-clipped queries and COUNTS with the raw ones (out-of-
+# range queries resolve correctly through the boundary leaf's window).
+_MONOTONE_TOPS = ("linear", "robust_linear", "linear_spline", "cubic",
+                  "radix", "bradix")
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _pack_u64_rows(starts, next_idx, keys, *, S: int):
+    """[B, 1+S] u64 rows: L1 base | S sampled keys keys[64*(base+i)].
+
+    The sample window covers every query routed to the leaf: for a
+    MONOTONE top, keys with midx < j all precede q and keys with
+    midx > j all follow it, so lb(q) in [start_j, next_idx_j] — no
+    error term involved.
+    """
+    n = keys.shape[0]
+    base = starts.astype(jnp.int64) // 64
+    idx = base[:, None] * 64 + jnp.arange(S, dtype=jnp.int64)[None, :] * 64
+    valid = idx < n
+    ki = keymod.as_int(keys)
+    samples = jnp.where(valid, ki[jnp.clip(idx, 0, n - 1)],
+                        jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    return jnp.concatenate([base.astype(jnp.uint64)[:, None], samples],
+                           axis=1)
+
+
+def packed_sample_lanes(rmi) -> int:
+    """Required sample-lane count S for the packed plan (host int)."""
+    starts, next_idx = _leaf_spans_host(rmi)
+    lo = starts // 64
+    # lanes S with 64*(lo + S - 1) >= next_idx
+    s_req = -(-(next_idx - lo * 64) // 64) + 1
+    return max(2, int(np.max(s_req)))
+
+
+def _leaf_spans_host(rmi):
+    """(starts, next_idx) per leaf, computed once and cached."""
+    cached = getattr(rmi, "_leaf_spans", None)
+    if cached is not None:
+        return cached
+    mtop = get_model(rmi.top_type)
+    keys = rmi.keys
+    xraw = keymod.as_float(keys)
+    xn = (xraw - rmi.norm_offset) * rmi.norm_scale
+
+    @jax.jit
+    def spans_fn(keys, xn, xraw):
+        t = predict_top_assignment(
+            mtop, rmi.device_top_params, keys, xn, xraw,
+            rmi.branching_factor - 1).astype(jnp.int32)
+        leaf_ids = jnp.arange(rmi.branching_factor, dtype=jnp.int32)
+        starts = jnp.searchsorted(t, leaf_ids, side="left")
+        ends = jnp.concatenate([starts[1:],
+                                jnp.full((1,), t.shape[0], starts.dtype)])
+        nonempty = starts < ends
+        big = jnp.int64(t.shape[0] + 1)
+        first_val = jnp.where(nonempty, starts.astype(jnp.int64), big)
+        suffix_min = jax.lax.cummin(first_val[::-1])[::-1]
+        next_start = jnp.concatenate(
+            [suffix_min[1:], jnp.full((1,), big, jnp.int64)])
+        next_idx = jnp.where(next_start < big, next_start, t.shape[0])
+        return starts.astype(jnp.int64), next_idx
+
+    starts, next_idx = jax.device_get(spans_fn(keys, xn, xraw))
+    out = (starts, next_idx)
+    try:
+        rmi._leaf_spans = out
+    except AttributeError:
+        pass
+    return out
 
 
 def _count_row(rows, row_idx, q):
@@ -177,6 +266,43 @@ def resolve(plan_levels, queries, guess, err, *, K: int, n: int,
         lb = _count_row(plan_levels[k], LB >> 6, q)
         lb = jnp.minimum(lb, level_lens[k])
     return lb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_type", "B", "n", "key_type", "S"))
+def _fast_search_packed(queries, top_params, rows_u64, off, s, level0,
+                        kmin_key, kmax_key, *, top_type, B, n, key_type,
+                        S):
+    """2-gather exact search: ONE [B, 1+S] u64 leaf-row gather (an L1
+    sample window provably covering every query routed to the leaf) +
+    ONE level-0 key-row gather.
+
+    For a MONOTONE top model, every key with a smaller leaf id
+    precedes q and every key with a larger one follows it, so
+    lb(q) in [start_j, next_idx_j] — the leaf's sample window locates
+    lb to within one 64-key stripe WITHOUT evaluating the leaf model
+    at all.  Replaces the 3-gather hierarchical resolve whenever the
+    window fits the row (<= ~8K-key leaf spans); the gather issue rate
+    (~25ns/row) is the serving cap, so dropping a gather is a ~1.4x
+    throughput win.
+    """
+    mtop = get_model(top_type)
+    qr = jnp.clip(queries, kmin_key, kmax_key)   # monotone routing domain
+    xraw = keymod.as_float(qr)
+    xn = (xraw - off) * s
+    midx = predict_top_assignment(mtop, top_params, qr, xn, xraw,
+                                  B - 1)
+    rows = rows_u64[midx]                           # gather #1
+    base = rows[:, 0].astype(jnp.int64)
+    qi = keymod.as_int(queries)
+    samples = rows[:, 1:]
+    c1 = jnp.sum(samples < qi[:, None], axis=1).astype(jnp.int64)
+    # lb in (64*(base+c1-1), 64*(base+c1)] -> one level-0 row resolves
+    row0 = jnp.clip(base + c1 - 1, 0, level0.shape[0] - 1)
+    blk = level0[row0]                              # gather #2
+    cnt = jnp.sum(blk < queries[:, None], axis=1).astype(jnp.int64)
+    return jnp.minimum(row0 * STRIDE + cnt, n)
 
 
 @functools.partial(
@@ -237,17 +363,39 @@ def _fast_search(queries, top_params, packed_rows, off, s,
                    level_lens=level_lens)
 
 
+def _try_packed_plan(rmi, max_err):
+    """Build the 2-gather packed plan when it applies (monotone top,
+    integer keys, per-leaf window fits the row)."""
+    import os
+    if os.environ.get("RMI_SERVE_PLAN") == "hier":
+        return None
+    if rmi.top_type not in _MONOTONE_TOPS or rmi.key_type.is_float:
+        return None
+    S = packed_sample_lanes(rmi)
+    if S > _PACKED_MAX_LANES - 1:
+        return None
+    starts, next_idx = _leaf_spans_host(rmi)
+    plan = SearchPlan(rmi.keys, max_err, levels=False)
+    plan.kind = "packed"
+    plan.S = S
+    plan.rows_u64 = _pack_u64_rows(
+        jnp.asarray(starts), jnp.asarray(next_idx), rmi.keys, S=S)
+    return plan
+
+
 def get_plan(rmi) -> SearchPlan:
     plan = getattr(rmi, "_search_plan", None)
     if plan is None:
         max_err = int(jnp.max(rmi.leaf_errors)) \
             if rmi.leaf_errors is not None else 0
-        plan = SearchPlan(rmi.keys, max_err)
-        if getattr(rmi, "eval_mode", "xla") == "df64":
-            plan.packed_rows = _pack_leaf_rows_df64(
-                rmi.device_leaf_params["w"], rmi.leaf_errors)
-        else:
-            plan.packed_rows = _pack_leaf_rows(rmi)
+        plan = _try_packed_plan(rmi, max_err)
+        if plan is None:
+            plan = SearchPlan(rmi.keys, max_err)
+            if getattr(rmi, "eval_mode", "xla") == "df64":
+                plan.packed_rows = _pack_leaf_rows_df64(
+                    rmi.device_leaf_params["w"], rmi.leaf_errors)
+            else:
+                plan.packed_rows = _pack_leaf_rows(rmi)
         try:
             rmi._search_plan = plan
         except AttributeError:
@@ -268,6 +416,14 @@ def fast_search(rmi, queries):
     queries = jnp.asarray(queries)
 
     def dispatch(q):
+        if plan.kind == "packed":
+            return _fast_search_packed(
+                q, rmi.device_top_params, plan.rows_u64,
+                jnp.float64(rmi.norm_offset),
+                jnp.float64(rmi.norm_scale), plan.levels[0],
+                rmi.keys[0], rmi.keys[-1],
+                top_type=rmi.top_type, B=rmi.branching_factor,
+                n=rmi.num_rmi_rows, key_type=rmi.key_type, S=plan.S)
         if getattr(rmi, "eval_mode", "xla") == "df64":
             return _fast_search_df64(
                 q, rmi.device_top_params, plan.packed_rows,
