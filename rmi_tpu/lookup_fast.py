@@ -178,13 +178,16 @@ _MONOTONE_TOPS = ("linear", "robust_linear", "linear_spline", "cubic",
 
 
 @functools.partial(jax.jit, static_argnames=("S",))
-def _pack_u64_rows(starts, next_idx, keys, *, S: int):
-    """[B, 1+S] u64 rows: L1 base | S sampled keys keys[64*(base+i)].
+def _pack_u32_rows(starts, next_idx, keys, *, S: int):
+    """[B, 1+2S] u32 rows: L1 base | S sample HI words | S sample LO
+    words, samples = keys[64*(base+i)].
 
-    The sample window covers every query routed to the leaf: for a
-    MONOTONE top, keys with midx < j all precede q and keys with
-    midx > j all follow it, so lb(q) in [start_j, next_idx_j] — no
-    error term involved.
+    u64 arrays are emulated as u32 pairs on TPU, so a u64 row gather
+    ISSUES TWICE; packing the halves into one u32 row keeps the leaf
+    fetch at a single gather.  The sample window covers every query
+    routed to the leaf: for a top MONOTONE on the key domain, keys with
+    midx < j all precede q and keys with midx > j all follow it, so
+    lb(q) in [start_j, next_idx_j] — no error term involved.
     """
     n = keys.shape[0]
     base = starts.astype(jnp.int64) // 64
@@ -193,8 +196,35 @@ def _pack_u64_rows(starts, next_idx, keys, *, S: int):
     ki = keymod.as_int(keys)
     samples = jnp.where(valid, ki[jnp.clip(idx, 0, n - 1)],
                         jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    return jnp.concatenate([base.astype(jnp.uint64)[:, None], samples],
+    hi = (samples >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = samples.astype(jnp.uint32)
+    return jnp.concatenate([base.astype(jnp.uint32)[:, None], hi, lo],
                            axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("nrows",))
+def _fused_pair_rows_jit(hi_padded, lo_padded, *, nrows: int):
+    def halves(p):
+        lo_ = p[:nrows * STRIDE].reshape(nrows, STRIDE)
+        hi_ = p[STRIDE:nrows * STRIDE + STRIDE].reshape(nrows, STRIDE)
+        return jnp.concatenate([lo_, hi_], axis=1)
+    return jnp.concatenate([halves(hi_padded), halves(lo_padded)], axis=1)
+
+
+def _fused_pair_rows(keys: jax.Array) -> jax.Array:
+    """[n] sorted u64 -> [ceil(n/64), 256] u32 rows: lanes 0..128 the
+    HI words of keys[64i:64i+128], lanes 128..256 the LO words — the
+    level-0 view fetchable with ONE u32 gather."""
+    m = keys.shape[0]
+    ki = keymod.as_int(keys)
+    nrows = max(1, -(-m // STRIDE))
+    padded_len = nrows * STRIDE + WIDTH
+    pad = jnp.full((padded_len - m,), jnp.uint64(0xFFFFFFFFFFFFFFFF),
+                   jnp.uint64)
+    padded = jnp.concatenate([ki, pad])
+    hi = (padded >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = padded.astype(jnp.uint32)
+    return _fused_pair_rows_jit(hi, lo, nrows=nrows)
 
 
 def packed_sample_lanes(rmi) -> int:
@@ -271,12 +301,12 @@ def resolve(plan_levels, queries, guess, err, *, K: int, n: int,
 @functools.partial(
     jax.jit,
     static_argnames=("top_type", "B", "n", "key_type", "S"))
-def _fast_search_packed(queries, top_params, rows_u64, off, s, level0,
+def _fast_search_packed(queries, top_params, rows_u32, off, s, level0,
                         kmin_key, kmax_key, *, top_type, B, n, key_type,
                         S):
-    """2-gather exact search: ONE [B, 1+S] u64 leaf-row gather (an L1
+    """2-gather exact search: ONE [B, 1+2S] u32 leaf-row gather (an L1
     sample window provably covering every query routed to the leaf) +
-    ONE level-0 key-row gather.
+    ONE fused hi/lo level-0 key-row gather.
 
     For a MONOTONE top model, every key with a smaller leaf id
     precedes q and every key with a larger one follows it, so
@@ -293,15 +323,22 @@ def _fast_search_packed(queries, top_params, rows_u64, off, s, level0,
     xn = (xraw - off) * s
     midx = predict_top_assignment(mtop, top_params, qr, xn, xraw,
                                   B - 1)
-    rows = rows_u64[midx]                           # gather #1
+    rows = rows_u32[midx]                           # gather #1 (u32!)
     base = rows[:, 0].astype(jnp.int64)
     qi = keymod.as_int(queries)
-    samples = rows[:, 1:]
-    c1 = jnp.sum(samples < qi[:, None], axis=1).astype(jnp.int64)
+    qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)[:, None]
+    qlo = qi.astype(jnp.uint32)[:, None]
+    shi = rows[:, 1:1 + S]
+    slo = rows[:, 1 + S:1 + 2 * S]
+    lt = (shi < qhi) | ((shi == qhi) & (slo < qlo))
+    c1 = jnp.sum(lt, axis=1).astype(jnp.int64)
     # lb in (64*(base+c1-1), 64*(base+c1)] -> one level-0 row resolves
     row0 = jnp.clip(base + c1 - 1, 0, level0.shape[0] - 1)
-    blk = level0[row0]                              # gather #2
-    cnt = jnp.sum(blk < queries[:, None], axis=1).astype(jnp.int64)
+    blk = level0[row0]                              # gather #2 (u32!)
+    bhi = blk[:, :WIDTH]
+    blo = blk[:, WIDTH:]
+    blt = (bhi < qhi) | ((bhi == qhi) & (blo < qlo))
+    cnt = jnp.sum(blt, axis=1).astype(jnp.int64)
     return jnp.minimum(row0 * STRIDE + cnt, n)
 
 
@@ -372,13 +409,16 @@ def _try_packed_plan(rmi, max_err):
     if rmi.top_type not in _MONOTONE_TOPS or rmi.key_type.is_float:
         return None
     S = packed_sample_lanes(rmi)
-    if S > _PACKED_MAX_LANES - 1:
+    if 1 + 2 * S > _PACKED_MAX_LANES:
         return None
     starts, next_idx = _leaf_spans_host(rmi)
-    plan = SearchPlan(rmi.keys, max_err, levels=False)
+    plan = SearchPlan.__new__(SearchPlan)
+    plan.n = int(rmi.keys.shape[0])
+    plan.max_err = max_err
     plan.kind = "packed"
     plan.S = S
-    plan.rows_u64 = _pack_u64_rows(
+    plan.level0_pair = _fused_pair_rows(rmi.keys)
+    plan.rows_u32 = _pack_u32_rows(
         jnp.asarray(starts), jnp.asarray(next_idx), rmi.keys, S=S)
     return plan
 
@@ -418,9 +458,9 @@ def fast_search(rmi, queries):
     def dispatch(q):
         if plan.kind == "packed":
             return _fast_search_packed(
-                q, rmi.device_top_params, plan.rows_u64,
+                q, rmi.device_top_params, plan.rows_u32,
                 jnp.float64(rmi.norm_offset),
-                jnp.float64(rmi.norm_scale), plan.levels[0],
+                jnp.float64(rmi.norm_scale), plan.level0_pair,
                 rmi.keys[0], rmi.keys[-1],
                 top_type=rmi.top_type, B=rmi.branching_factor,
                 n=rmi.num_rmi_rows, key_type=rmi.key_type, S=plan.S)
