@@ -45,17 +45,19 @@ def _select_kernel(blk_lo_ref, t_ref, w_ref, out_refs, ovf_ref,
     prev = jnp.where(g == 0, jnp.int32(0), ovf_ref[0, 0])
     ovf_ref[0, 0] = jnp.maximum(prev, flag)
 
+    # leading-column sel layout — see ops/sweep_kernel.py (trailing-dim
+    # rank-3 slices cost ~4ns/key in relayouts; dim-0 indexing is free)
     tl = jnp.clip(t_ref[:] - lo, 0, rows - 1)
-    onehot = (tl[:, :, None] ==
-              jax.lax.broadcasted_iota(jnp.int32, (SUB, 128, rows), 2)
-              ).astype(jnp.float32)
+    onehotT = (jax.lax.broadcasted_iota(jnp.int32, (rows, SUB, 128), 0)
+               == tl[None, :, :]).astype(jnp.float32)
     wn = wloc_ref[:][:, :ncols]
-    sel = jax.lax.dot_general(
-        onehot, wn, dimension_numbers=(((2,), (0,)), ((), ())),
+    wnT = jnp.transpose(wn, (1, 0))
+    selT = jax.lax.dot_general(
+        wnT, onehotT, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)       # [SUB, 128, ncols]
+        precision=jax.lax.Precision.HIGHEST)       # [ncols, SUB, 128]
     for c in range(ncols):
-        out_refs[c][:] = sel[:, :, c]
+        out_refs[c][:] = selT[c]
 
 
 @functools.partial(jax.jit, static_argnames=("ncols", "B", "span"))

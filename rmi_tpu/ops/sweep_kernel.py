@@ -113,20 +113,23 @@ def _sweep_kernel(blk_lo_ref, xh_ref, xl_ref, y_ref, t_ref, w_ref,
 
     # Everything stays 2-D [SUB, 128]: Mosaic runs 1-D vectors at ~1/3
     # of VPU throughput (probes/probe_pallas5.py H2 vs probe_pallas4
-    # G6), and the rank-3 one-hot select keeps full lanes.
+    # G6).  The one-hot select produces sel in a LEADING-column layout
+    # [2ppm, SUB, 128]: consuming trailing-dim slices of a rank-3
+    # result costs ~4.3ns/key in lane relayouts, while dim-0 indexing
+    # is free (probes/probe_sweep_bisect.py: 6.1 -> 1.8 ns/key).
     tl = jnp.clip(t_ref[:] - lo, 0, rows - 1)             # [SUB, 128]
-    onehot = (tl[:, :, None] ==
-              jax.lax.broadcasted_iota(jnp.int32, (SUB, 128, rows), 2)
-              ).astype(jnp.float32)
+    onehotT = (jax.lax.broadcasted_iota(jnp.int32, (rows, SUB, 128), 0)
+               == tl[None, :, :]).astype(jnp.float32)
     wn = wloc_ref[:][:, :2 * ppm]   # VALUE lane-slice (probe H7)
-    sel = jax.lax.dot_general(
-        onehot, wn,
-        dimension_numbers=(((2,), (0,)), ((), ())),
+    wnT = jnp.transpose(wn, (1, 0))                       # [2ppm, rows]
+    selT = jax.lax.dot_general(
+        wnT, onehotT,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)         # [SUB, 128, 2ppm]
+        precision=jax.lax.Precision.HIGHEST)         # [2ppm, SUB, 128]
 
     def cols(j):
-        return sel[:, :, j], sel[:, :, ppm + j]
+        return selT[j], selT[ppm + j]
 
     ph, plo = leaf_eval_df64(leaf_type, cols, xh_ref[:], xl_ref[:])
     pred = df64.floor_to_i32(ph, plo, 0, n)               # [0, n]
