@@ -111,13 +111,19 @@ def lower_bound_fills(spans: seg.Spans, keys, key_type: KeyType):
     return next_idx, next_key, prev_key
 
 
-def _run_lengths_i32(keys, n):
+def _run_lengths_i32(keys, n, run_start=None):
     """Per-key duplicate-run length, 0 for the array's FINAL run (the
-    reference never flushes it, lower_bound_correction.rs:104-125)."""
+    reference never flushes it, lower_bound_correction.rs:104-125).
+
+    ``run_start`` may be passed to reuse an existing first-occurrence
+    scan: FixDups positions ARE run starts, so the sweep tail hands
+    yfix in and saves one O(n) cummax (~70ms at 200M keys).
+    """
     idx = jnp.arange(n, dtype=jnp.int32)
-    changed = jnp.concatenate([jnp.ones((1,), bool),
-                               keys[1:] != keys[:-1]])
-    run_start = jax.lax.cummax(jnp.where(changed, idx, 0))
+    if run_start is None:
+        changed = jnp.concatenate([jnp.ones((1,), bool),
+                                   keys[1:] != keys[:-1]])
+        run_start = jax.lax.cummax(jnp.where(changed, idx, 0))
     ends_run = jnp.concatenate([keys[1:] != keys[:-1],
                                 jnp.ones((1,), bool)])
     run_end = jax.lax.cummin(
@@ -274,17 +280,17 @@ def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
     lo_keys = keymod.plus_epsilon(prev_key, key_type)
     pred_lo = probe_predict(lo_keys, leaf_ids)
     return _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts,
-                       ends, B=B)
+                       ends, B=B, run_start=yfix)
 
 
 def _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts, ends, *,
-                B: int):
+                B: int, run_start=None):
     """Stage-C tail from per-key errors + probe predictions to the
     final per-leaf errors and metrics (two_layer.rs:226-287)."""
     n = keys.shape[0]
     # scatter-free per-leaf maxima over the contiguous spans
     max_err = seg.range_max(err, starts, ends, 0).astype(jnp.int64)
-    run_counted = _run_lengths_i32(keys, n)
+    run_counted = _run_lengths_i32(keys, n, run_start=run_start)
     longest_run = seg.range_max(run_counted, starts, ends,
                                 0).astype(jnp.int64)
     cnt = ends - starts
@@ -412,7 +418,8 @@ def _train_core_pallas(keys, kminf, s, *, top_type: str, leaf_type: str,
         n, w_pad, next_key, prev_key, kminf, s, leaf_type=leaf_type,
         key_type=key_type)
     leaf_errors, metrics = _sweep_tail(keys, err, pred_up, pred_lo,
-                                       next_idx, starts, ends, B=B)
+                                       next_idx, starts, ends, B=B,
+                                       run_start=yfix)
     return (top_params, leaf_params, patch, next_idx, leaf_errors,
             metrics, ovf)
 
