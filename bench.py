@@ -108,19 +108,37 @@ def run(n, t_start):
         qkey, (nq,), 0, np.iinfo(np.int64).max, dtype=jnp.int64
     ).astype(jnp.uint64) << jnp.uint64(1)
 
+    # multi-chip serving: shard the query batch over the device mesh
+    # (tables replicated, zero hot-path collectives — parallel/serve.py).
+    # Auto-on when >1 device is visible; RMI_BENCH_SHARD=0/1 overrides.
+    ndev = jax.device_count()
+    shard_flag = os.environ.get("RMI_BENCH_SHARD", "auto")
+    use_shard = (ndev > 1) if shard_flag == "auto" else shard_flag == "1"
+    serve_res = res
+    if use_shard:
+        from rmi_tpu.parallel.serve import (replicate_rmi, serving_mesh,
+                                            shard_queries)
+        mesh = serving_mesh()
+        serve_res = replicate_rmi(res, mesh)
+        queries, _ = shard_queries(queries, mesh)
+        log(f"serving sharded over {ndev} devices")
+
     perturb = jax.jit(
         lambda q, i: q ^ (i.astype(jnp.uint64) & jnp.uint64(1023)))
-    idx = search(res, queries)
+    idx = search(serve_res, queries)
     _ = int(jnp.max(idx))               # warm up compile + sync
     q = queries
     t0 = time.time()
     for i in range(iters):
-        idx = search(res, q)
+        idx = search(serve_res, q)
         q = perturb(queries, idx)
     _ = int(jnp.max(idx))               # forces the whole chain
     dt = (time.time() - t0) / iters
-    rate = nq / dt
-    log(f"search: {dt*1e3:.2f} ms / {nq} queries -> {rate/1e6:.1f}M/s")
+    total_rate = nq / dt
+    rate = total_rate / (ndev if use_shard else 1)
+    log(f"search: {dt*1e3:.2f} ms / {nq} queries -> "
+        f"{total_rate/1e6:.1f}M/s total, {rate/1e6:.1f}M/s/chip "
+        f"({ndev if use_shard else 1} chip(s))")
 
     ref_build_s = 14.288421237          # README.md:52
     out = {
@@ -139,6 +157,8 @@ def run(n, t_start):
         "rmi_size_bytes": int(rmi_size(res)),
         "bound_violations_sampled": viol,
         "n_keys": n,
+        "serve_devices": ndev if use_shard else 1,
+        "lookups_per_sec_total": total_rate,
         "total_wall_s": time.time() - t_start,
     }
 

@@ -22,12 +22,31 @@ import numpy as np
 
 
 class KeyType(enum.Enum):
+    """Key dtypes.  U128 exists at exactly the reference's depth: the
+    enum variant and its codegen type name are declared
+    (models/mod.rs:42,51,59) but NO loader constructs U128 data
+    (src/load.rs:97-129 produces only u64/u32/f64 mmaps) and no model
+    implements 128-bit arithmetic — so requesting U128 training data
+    raises a ValueError here, where the reference simply has no code
+    path that could reach it."""
+
     U32 = "uint32"
     U64 = "uint64"
     F64 = "f64"
+    U128 = "uint128"
+
+    def _no_u128(self):
+        if self is KeyType.U128:
+            raise ValueError(
+                "KeyType.U128 is declared for codegen parity with the "
+                "reference (models/mod.rs:40-63) but has no data "
+                "representation: the reference's loader never produces "
+                "u128 keys (src/load.rs:97-129) and neither does "
+                "rmi_tpu (no 128-bit numpy/JAX dtype)")
 
     @property
     def np_dtype(self):
+        self._no_u128()
         return {
             KeyType.U32: np.uint32,
             KeyType.U64: np.uint64,
@@ -36,6 +55,7 @@ class KeyType(enum.Enum):
 
     @property
     def jnp_dtype(self):
+        self._no_u128()
         return {
             KeyType.U32: jnp.uint32,
             KeyType.U64: jnp.uint64,
@@ -49,6 +69,7 @@ class KeyType(enum.Enum):
             KeyType.U32: "uint32_t",
             KeyType.U64: "uint64_t",
             KeyType.F64: "double",
+            KeyType.U128: "uint128_t",
         }[self]
 
     @property
@@ -57,11 +78,14 @@ class KeyType(enum.Enum):
 
     @property
     def itemsize(self) -> int:
+        if self is KeyType.U128:
+            return 16
         return 4 if self is KeyType.U32 else 8
 
     @property
     def max_value(self):
         """T::max_value() (models/mod.rs:81,93,105)."""
+        self._no_u128()
         if self is KeyType.U32:
             return np.uint32(0xFFFFFFFF)
         if self is KeyType.U64:

@@ -157,11 +157,18 @@ def measure_rmis(data, configs: Sequence[Tuple[str, int]],
         from rmi_tpu.parallel.sweep import parallel_measure_rmis
         return parallel_measure_rmis(data, configs, progress=progress)
 
-    from rmi_tpu.train.api import train
+    from rmi_tpu.train.api import _fetch_host, train_async
+
+    # dispatch-all-then-fetch even on one device: the device pipeline
+    # runs build k while the host dispatches (or compiles) k+1, and the
+    # (metrics, ovf) pairs come back in ONE transfer instead of
+    # 2/config round trips (~30ms each over tunneled devices).
+    pending = [train_async(data, models, bf) for models, bf in configs]
+    fetched = _fetch_host([p.fetchable() for p in pending])
 
     out = []
-    for models, bf in configs:
-        res = train(data, models, bf)
+    for p, h, (models, bf) in zip(pending, fetched, configs):
+        res = p.result(prefetched=h)
         out.append(RMIStatistics(
             models=models, branching_factor=bf,
             average_log2_error=res.model_avg_log2_error,

@@ -18,8 +18,12 @@ all-gathered per-shard carry.  All collectives ride ICI (psum /
 all_gather / ppermute); nothing materializes the global array on one
 chip.
 
-Round-1 scope: top/leaf models in the linear family + cubic (the
-flagship configurations); the single-chip path covers the full zoo.
+Scope: every scalar-parameter top model (DP_TOP_MODELS — the full
+linear family, cubic, normal/lognormal, radix, bradix, histogram) and
+every float-output leaf family (DP_LEAF_MODELS).  Radix hint-TABLE
+leaves (radix8-28) are single-chip only: their [2^bits] tables are
+built by global searchsorted over the whole key array, which has no
+benefit from data sharding at table sizes that fit one chip.
 """
 
 from __future__ import annotations
@@ -151,9 +155,8 @@ def dist_run_bounds(keys_local, changed, n):
     ndev = jax.lax.axis_size(AXIS)
     gidx = off + jnp.arange(m, dtype=jnp.int64)
 
-    run_start = jnp.maximum(
-        jax.lax.cummax(jnp.where(changed, gidx, 0)),
-        _carry_max(jax.lax.cummax(jnp.where(changed, gidx, 0))[-1]))
+    local_start = jax.lax.cummax(jnp.where(changed, gidx, 0))
+    run_start = jnp.maximum(local_start, _carry_max(local_start[-1]))
 
     right_first = _neighbor_first_key(keys_local)
     e_last = jnp.where(i == ndev - 1, True, keys_local[-1] != right_first)

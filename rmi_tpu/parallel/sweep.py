@@ -3,12 +3,17 @@
 The reference fans RMI configurations across rayon threads
 (optimizer.rs:220-231, main.rs:241-248).  The TPU-native equivalent is
 one *device* per configuration: the training data is replicated onto
-each device once, and configs are dispatched round-robin — JAX's async
-dispatch keeps all devices busy without host threads.
+each device once, configs are dispatched round-robin, and — crucially —
+NO host synchronization happens until every config is in flight
+(train_async / PendingRMI, train/api.py).  JAX's async dispatch then
+keeps all devices busy; the host only blocks once, on a single batched
+transfer of every build's (metrics, overflow-flag) pair.
 
-Each (models, branching_factor) pair compiles its own program (shapes
-depend on B), so there is no benefit to vmapping across configs; the
-parallel axis is the device pool.
+Each (models, branching_factor) pair compiles its own program unless
+B-bucketing is active (see rmi_tpu.optimizer.bucket_for); compiles are
+host-side and serialize regardless, so the persistent compile cache +
+bucketing is what makes first sweeps cheap, and the all-async dispatch
+is what makes the execution overlap.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ def parallel_measure_rmis(data: RMIDataset,
                           devices: Optional[List] = None,
                           progress=None) -> List[RMIStatistics]:
     """measure_rmis (optimizer.rs:220-231) across a device pool."""
-    from rmi_tpu.train.api import train
+    from rmi_tpu.train.api import _fetch_host, train_async
 
     if devices is None:
         devices = jax.devices()
@@ -36,13 +41,18 @@ def parallel_measure_rmis(data: RMIDataset,
         for d in devices
     ]
 
-    # dispatch round-robin; train() blocks on each build's metrics, so
-    # interleave via device order (async dispatch overlaps transfers
-    # and the next device's compile with the previous device's run).
+    # Phase 1: dispatch everything.  train_async never blocks the
+    # host, so device i starts executing its first build while the
+    # host is still dispatching (or compiling) for device i+1.
+    pending = [train_async(replicas[i % len(replicas)], models, bf)
+               for i, (models, bf) in enumerate(configs)]
+
+    # Phase 2: ONE host transfer for every build's (metrics, ovf).
+    fetched = _fetch_host([p.fetchable() for p in pending])
+
     out: List[RMIStatistics] = []
-    for i, (models, bf) in enumerate(configs):
-        ds = replicas[i % len(replicas)]
-        res = train(ds, models, bf)
+    for p, h, (models, bf) in zip(pending, fetched, configs):
+        res = p.result(prefetched=h)
         stat = RMIStatistics(
             models=models, branching_factor=bf,
             average_log2_error=res.model_avg_log2_error,

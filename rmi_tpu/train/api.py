@@ -89,10 +89,74 @@ class TrainedRMI:
         return self.raw_leaf
 
 
-def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
-    """Train an RMI (train/mod.rs:100-126).  Only 2-layer specs are
-    supported — the reference panics on anything else (train/mod.rs:125,
-    multi_layer is commented out of its module tree)."""
+def _fetch_host(tree):
+    """The single host-synchronizing transfer of a build.  A named
+    function so tests can observe WHEN syncs happen (the parallel
+    sweep's no-per-build-sync contract, parallel/sweep.py)."""
+    return jax.device_get(tree)
+
+
+def _norm_cached(data: RMIDataset):
+    """norm_constants once per dataset object: keys[0]/keys[-1] are
+    1-element host transfers (~30ms each over tunneled devices) that
+    must not run once per sweep config."""
+    cached = getattr(data, "_norm_cache", None)
+    if cached is None:
+        cached = two_layer.norm_constants(data.keys, data.key_type)
+        try:
+            data._norm_cache = cached
+        except AttributeError:
+            pass
+    return cached
+
+
+@dataclasses.dataclass
+class PendingRMI:
+    """A dispatched (not yet synchronized) build.
+
+    ``result()`` performs the single host transfer and constructs the
+    TrainedRMI; until then the host never blocks, so many PendingRMIs
+    across a device pool genuinely overlap (the rayon-par_iter
+    analogue, optimizer.rs:220-231).  ``prefetched`` lets a caller
+    batch many builds' (metrics, ovf) pairs into ONE device_get."""
+
+    models: str
+    branching_factor: int
+    data: RMIDataset
+    start_ns: int
+    metrics_dev: Any
+    ovf_dev: Any
+    _finish: Any
+    _result: Optional[TrainedRMI] = None
+
+    def fetchable(self):
+        """(metrics, ovf) device tree for a batched host transfer."""
+        ovf = self.ovf_dev if self.ovf_dev is not None else 0
+        return (self.metrics_dev, ovf)
+
+    def result(self, prefetched=None) -> TrainedRMI:
+        if self._result is not None:
+            return self._result
+        m, ovf = (_fetch_host(self.fetchable()) if prefetched is None
+                  else prefetched)
+        out, retried = self._finish(int(ovf))
+        if retried:
+            m = _fetch_host(out[5])
+        build_time = time.monotonic_ns() - self.start_ns
+        self._result = _build_trained(self.data, self.models,
+                                      self.branching_factor, out, m,
+                                      build_time)
+        return self._result
+
+
+def train_async(data: RMIDataset, model_spec: str,
+                branch_factor: int) -> PendingRMI:
+    """Dispatch a build without blocking the host (see PendingRMI).
+
+    The staged/profiled build paths (RMI_BUILD_STAGED / RMI_PROFILE_BUILD)
+    synchronize internally by design; under them this degrades to a
+    resolved pending."""
+    import os
     start = time.monotonic_ns()
     layers = model_spec.split(",")
     if len(layers) != 2:
@@ -101,14 +165,37 @@ def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
             "multi-layer trainer is disabled upstream, train/mod.rs:125)")
     top_type, leaf_type = layers
 
-    (top_params, leaf_params, patch, next_idx, leaf_errors, metrics,
-     kminf, s, eval_mode) = two_layer.train_two_layer(
-        data.keys, data.key_type, None, top_type, leaf_type,
-        branch_factor)
+    if (os.environ.get("RMI_BUILD_STAGED") == "1"
+            or os.environ.get("RMI_PROFILE_BUILD") == "1"):
+        out = two_layer.train_two_layer(
+            data.keys, data.key_type, None, top_type, leaf_type,
+            branch_factor)
+        return PendingRMI(models=model_spec,
+                          branching_factor=int(branch_factor), data=data,
+                          start_ns=start, metrics_dev=out[5], ovf_dev=None,
+                          _finish=lambda _ovf: (out, False))
 
-    # metrics transfer (small) also fences the build for build_time
-    m = jax.device_get(metrics)
-    build_time = time.monotonic_ns() - start
+    metrics_dev, ovf_dev, finish = two_layer.train_two_layer_async(
+        data.keys, data.key_type, top_type, leaf_type, branch_factor,
+        norm=_norm_cached(data))
+    return PendingRMI(models=model_spec,
+                      branching_factor=int(branch_factor), data=data,
+                      start_ns=start, metrics_dev=metrics_dev,
+                      ovf_dev=ovf_dev, _finish=finish)
+
+
+def train(data: RMIDataset, model_spec: str, branch_factor: int) -> TrainedRMI:
+    """Train an RMI (train/mod.rs:100-126).  Only 2-layer specs are
+    supported — the reference panics on anything else (train/mod.rs:125,
+    multi_layer is commented out of its module tree)."""
+    return train_async(data, model_spec, branch_factor).result()
+
+
+def _build_trained(data: RMIDataset, model_spec: str, branch_factor: int,
+                   out, m, build_time: int) -> TrainedRMI:
+    (top_params, leaf_params, patch, next_idx, leaf_errors, _metrics,
+     kminf, s, eval_mode) = out
+    top_type, leaf_type = model_spec.split(",")
 
     if leaf_params.get("w") is None:
         # int-parameter leaves (radix hint tables): domain-free integer

@@ -174,22 +174,35 @@ def _leaf_eval_cols(leaf_type: str, cols, x):
 # ---------------------------------------------------------------------------
 
 def _assign_body(keys, kminf, s, *, top_type: str, B: int,
-                 key_type: KeyType):
+                 key_type: KeyType, b_dyn=None, sf_dyn=None):
+    """``b_dyn``/``sf_dyn`` (traced scalars) activate B-generic mode:
+    the program is compiled for the static PAD bucket ``B`` but trains
+    the RMI for the true branching factor ``b_dyn`` (scale
+    ``sf_dyn = b_dyn/n``).  trunc(y * sf) is bit-identical to the
+    static path for every reachable sf (the reference's scale-skip,
+    models/mod.rs:238-250, only fires at sf == 1.0 exactly, where
+    trunc(y * 1.0) == y for integer-valued y)."""
     n = keys.shape[0]
     mtop = get_model(top_type)
     xraw = keymod.as_float(keys)
     xn = (xraw - kminf) * s
     yfix = _fixdups_i32(keys)
     yfix_f = yfix.astype(jnp.float64)
-    sf = float(B) / float(n)   # two_layer.rs:109
-    ys_scaled = _scale_targets(yfix_f, sf)
-    ep_ys = _scale_targets(jnp.arange(n, dtype=jnp.float64), sf)
+    if sf_dyn is None:
+        sf = float(B) / float(n)   # two_layer.rs:109
+        ys_scaled = _scale_targets(yfix_f, sf)
+        ep_ys = _scale_targets(jnp.arange(n, dtype=jnp.float64), sf)
+    else:
+        sf = sf_dyn
+        ys_scaled = jnp.trunc(yfix_f * sf_dyn)
+        ep_ys = jnp.trunc(jnp.arange(n, dtype=jnp.float64) * sf_dyn)
 
     top_in = model_float_input(mtop, xn, xraw)
     top_params = _as_dict(mtop.fit_top(
         keys_f=top_in, ys_f=ys_scaled, ep_ys_f=ep_ys, n=n, keys=keys,
         B=B, scale=sf, xf_raw=xraw))
-    t64 = predict_top_assignment(mtop, top_params, keys, xn, xraw, B - 1)
+    bound = (B - 1) if b_dyn is None else (b_dyn - 1)
+    t64 = predict_top_assignment(mtop, top_params, keys, xn, xraw, bound)
     return yfix, top_params, t64.astype(jnp.int32)
 
 
@@ -198,7 +211,7 @@ def _assign_body(keys, kminf, s, *, top_type: str, B: int,
 # ---------------------------------------------------------------------------
 
 def _fit_body(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
-              key_type: KeyType, pallas_span=None):
+              key_type: KeyType, pallas_span=None, b_dyn=None):
     n = keys.shape[0]
     mleaf = get_model(leaf_type)
     xraw = keymod.as_float(keys)
@@ -220,7 +233,8 @@ def _fit_body(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
     # loop covers 0..B-1 EXCLUSIVE, so the final leaf is never patched.
     if mleaf.constant_params is not None:
         const_rows = mleaf.constant_params(next_idx.astype(jnp.float64))
-        patch = (~spans.nonempty) & (jnp.arange(B) < B - 1)
+        last = (B - 1) if b_dyn is None else (b_dyn - 1)
+        patch = (~spans.nonempty) & (jnp.arange(B) < last)
         leaf_params = dict(leaf_params)
         leaf_params["w"] = jnp.where(patch[:, None], const_rows,
                                      leaf_params["w"])
@@ -236,7 +250,7 @@ def _fit_body(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
 
 def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
                 starts, ends, nonempty, kminf, s, *, leaf_type: str,
-                B: int, key_type: KeyType):
+                B: int, key_type: KeyType, b_dyn=None):
     n = keys.shape[0]
     mleaf = get_model(leaf_type)
     xraw = keymod.as_float(keys)
@@ -280,13 +294,18 @@ def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
     lo_keys = keymod.plus_epsilon(prev_key, key_type)
     pred_lo = probe_predict(lo_keys, leaf_ids)
     return _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts,
-                       ends, B=B, run_start=yfix)
+                       ends, B=B, run_start=yfix, b_dyn=b_dyn)
 
 
 def _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts, ends, *,
-                B: int, run_start=None):
+                B: int, run_start=None, b_dyn=None):
     """Stage-C tail from per-key errors + probe predictions to the
-    final per-leaf errors and metrics (two_layer.rs:226-287)."""
+    final per-leaf errors and metrics (two_layer.rs:226-287).
+
+    With ``b_dyn`` (B-generic mode), leaves in [b_dyn, B) are compile-
+    time padding: their spans are empty (cnt 0, so they never touch
+    the count-weighted sums) and their error entries are forced to 0 /
+    excluded from the max and its argmax."""
     n = keys.shape[0]
     # scatter-free per-leaf maxima over the contiguous spans
     max_err = seg.range_max(err, starts, ends, 0).astype(jnp.int64)
@@ -302,6 +321,12 @@ def _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts, ends, *,
 
     final_err = (jnp.maximum(jnp.maximum(max_err, upper_err), lower_err)
                  + longest_run)
+    if b_dyn is not None:
+        valid = leaf_ids < b_dyn
+        final_err = jnp.where(valid, final_err, 0)
+        fe_for_idx = jnp.where(valid, final_err, jnp.int64(-1))
+    else:
+        fe_for_idx = final_err
 
     # metrics (two_layer.rs:266-287)
     nf = jnp.float64(n)
@@ -309,7 +334,7 @@ def _sweep_tail(keys, err, pred_up, pred_lo, next_idx, starts, ends, *,
     err_f = final_err.astype(jnp.float64)
     model_max_error = jnp.max(final_err)
     # Rust max_by_key returns the LAST maximal element.
-    model_max_error_idx = (B - 1) - jnp.argmax(final_err[::-1])
+    model_max_error_idx = (B - 1) - jnp.argmax(fe_for_idx[::-1])
     metrics = {
         "model_max_error": model_max_error.astype(jnp.uint64),
         "model_max_error_idx": model_max_error_idx,
@@ -384,7 +409,8 @@ def default_span(n: int, B: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("top_type", "leaf_type",
                                              "B", "key_type", "span"))
-def _train_core_pallas(keys, kminf, s, *, top_type: str, leaf_type: str,
+def _train_core_pallas(keys, kminf, s, b_dyn=None, sf_dyn=None, *,
+                       top_type: str, leaf_type: str,
                        B: int, key_type: KeyType, span: int):
     """The whole build as ONE program with the Pallas df64 sweep in
     place of the XLA gather sweep.
@@ -399,10 +425,12 @@ def _train_core_pallas(keys, kminf, s, *, top_type: str, leaf_type: str,
     n = keys.shape[0]
     mleaf = get_model(leaf_type)
     yfix, top_params, t = _assign_body(keys, kminf, s, top_type=top_type,
-                                       B=B, key_type=key_type)
+                                       B=B, key_type=key_type,
+                                       b_dyn=b_dyn, sf_dyn=sf_dyn)
     (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
      nonempty) = _fit_body(keys, yfix, t, kminf, s, leaf_type=leaf_type,
-                           B=B, key_type=key_type, pallas_span=span)
+                           B=B, key_type=key_type, pallas_span=span,
+                           b_dyn=b_dyn)
     leaf_params = dict(leaf_params)
     fit_ovf = leaf_params.pop("ovf", jnp.int32(0))
     xraw = keymod.as_float(keys)
@@ -419,7 +447,7 @@ def _train_core_pallas(keys, kminf, s, *, top_type: str, leaf_type: str,
         key_type=key_type)
     leaf_errors, metrics = _sweep_tail(keys, err, pred_up, pred_lo,
                                        next_idx, starts, ends, B=B,
-                                       run_start=yfix)
+                                       run_start=yfix, b_dyn=b_dyn)
     return (top_params, leaf_params, patch, next_idx, leaf_errors,
             metrics, ovf)
 
@@ -434,21 +462,23 @@ _stage_sweep = functools.partial(jax.jit, static_argnames=(
 
 @functools.partial(jax.jit,
                    static_argnames=("top_type", "leaf_type", "B", "key_type"))
-def _train_core_mono(keys, kminf, s, *, top_type: str, leaf_type: str,
+def _train_core_mono(keys, kminf, s, b_dyn=None, sf_dyn=None, *,
+                     top_type: str, leaf_type: str,
                      B: int, key_type: KeyType):
     """Whole build as ONE program — the default: the tunneled TPU
     compiler handles this graph shape reliably, and XLA can overlap
     phases.  The staged path (RMI_BUILD_STAGED=1) trades that for
     lower peak HBM at the largest n."""
     yfix, top_params, t = _assign_body(keys, kminf, s, top_type=top_type,
-                                       B=B, key_type=key_type)
+                                       B=B, key_type=key_type,
+                                       b_dyn=b_dyn, sf_dyn=sf_dyn)
     (leaf_params, patch, next_idx, next_key, prev_key, starts, ends,
      nonempty) = _fit_body(keys, yfix, t, kminf, s, leaf_type=leaf_type,
-                           B=B, key_type=key_type)
+                           B=B, key_type=key_type, b_dyn=b_dyn)
     leaf_errors, metrics = _sweep_body(
         keys, yfix, t, _predict_params(leaf_params), next_idx, next_key,
         prev_key, starts, ends, nonempty, kminf, s, leaf_type=leaf_type,
-        B=B, key_type=key_type)
+        B=B, key_type=key_type, b_dyn=b_dyn)
     return (top_params, leaf_params, patch, next_idx, leaf_errors, metrics)
 
 
@@ -459,6 +489,61 @@ def norm_constants(keys, key_type: KeyType) -> Tuple[float, float]:
     kmax = float(keys[-1])
     span = kmax - kmin
     return kmin, (1.0 / span if span > 0 else 1.0)
+
+
+def train_two_layer_async(keys, key_type: KeyType, top_type: str,
+                          leaf_type: str, B: int, norm=None):
+    """Dispatch a 2-layer build WITHOUT any host synchronization.
+
+    Returns ``(metrics_dev, ovf_dev, finish)`` where ``metrics_dev`` is
+    the device-resident metrics dict, ``ovf_dev`` is the Pallas
+    overflow flag (or None on the XLA path), and
+    ``finish(ovf_host) -> (out_tuple, retried)`` resolves the build:
+    on overflow it synchronously escalates the DMA window then falls
+    back to the XLA monolith (``retried=True`` means ``out_tuple``
+    carries fresh device metrics the caller must fetch).
+
+    This is what lets the optimizer sweep actually overlap devices
+    (optimizer.rs:220-231 in substance): all configs dispatch before
+    the first metrics transfer blocks the host (parallel/sweep.py).
+    """
+    validate_spec([top_type, leaf_type])
+    if keys.shape[0] >= 2**31:
+        raise ValueError("single-chip builds support < 2^31 rows; "
+                         "shard larger arrays (rmi_tpu.parallel)")
+    kminf, s = norm_constants(keys, key_type) if norm is None else norm
+    kd, sd = jnp.float64(kminf), jnp.float64(s)
+    B = int(B)
+
+    if pallas_sweep_mode(leaf_type):
+        spans_to_try = sorted({default_span(keys.shape[0], B), 1024})
+        out = _train_core_pallas(
+            keys, kd, sd, top_type=top_type, leaf_type=leaf_type,
+            B=B, key_type=key_type, span=spans_to_try[0])
+
+        def finish(ovf_host, out=out):
+            if not ovf_host:
+                return out[:6] + (kminf, s, "df64"), False
+            for span in spans_to_try[1:]:
+                out2 = _train_core_pallas(
+                    keys, kd, sd, top_type=top_type, leaf_type=leaf_type,
+                    B=B, key_type=key_type, span=span)
+                if not int(out2[-1]):
+                    return out2[:6] + (kminf, s, "df64"), True
+            out3 = _train_core_mono(keys, kd, sd, top_type=top_type,
+                                    leaf_type=leaf_type, B=B,
+                                    key_type=key_type)
+            return out3 + (kminf, s, "xla"), True
+
+        return out[5], out[6], finish
+
+    out = _train_core_mono(keys, kd, sd, top_type=top_type,
+                           leaf_type=leaf_type, B=B, key_type=key_type)
+
+    def finish(ovf_host, out=out):
+        return out + (kminf, s, "xla"), False
+
+    return out[5], None, finish
 
 
 def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,

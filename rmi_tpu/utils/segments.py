@@ -147,10 +147,51 @@ class Spans:
     B: int
 
 
+_SP_BLK = 512
+
+
+def sorted_starts(t: jax.Array, B: int) -> jax.Array:
+    """starts[j] = #{i : t[i] < j} for NON-DECREASING t — i.e.
+    searchsorted(t, arange(B), 'left') without the searchsorted.
+
+    XLA lowers searchsorted to a while-loop of log2(n) dependent
+    gather rounds (~244ms at n=200M, B=2^18 — the largest single item
+    of the build trace, PLAN.md).  Monotonicity gives a two-level
+    direct form instead: each leaf j's boundary lies in the single
+    512-block that STRADDLES it (the last block whose first element is
+    <= j, found by a [nb]-scatter + cummax over [B]), and within that
+    block the count is one full-lane compare-reduce on a gathered row.
+    One O(n/512) scatter pass + one [B, 512] row gather: ~6ms at the
+    same shape.
+    """
+    n = t.shape[0]
+    t32 = t.astype(jnp.int32)
+    nb = -(-n // _SP_BLK)
+    pad = nb * _SP_BLK - n
+    # pad with B: never < any leaf id, so pad lanes count 0
+    tp = jnp.concatenate(
+        [t32, jnp.full((pad,), jnp.int32(B), jnp.int32)]) if pad else t32
+    rows = tp.reshape(nb, _SP_BLK)
+    # boundary block of leaf j: FIRST block whose LAST (= max, t sorted)
+    # element is >= j — every earlier block is then entirely < j.
+    # (The last block with first-element <= j would be wrong: an
+    # earlier block may already hold elements == j.)
+    last_idx = jnp.minimum(jnp.arange(1, nb + 1, dtype=jnp.int32)
+                           * _SP_BLK, n) - 1
+    lasts = t32[last_idx]
+    k_at = jnp.full((B,), nb, jnp.int32).at[lasts].min(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop")
+    k0 = jax.lax.cummin(k_at[::-1])[::-1]
+    blk = jnp.minimum(k0, nb - 1)     # k0 == nb: j past every element;
+    row = rows[blk]                   # the last block then counts all
+    cnt = jnp.sum(row < jnp.arange(B, dtype=jnp.int32)[:, None],
+                  axis=1, dtype=jnp.int32)   # its real elements -> n
+    return (blk.astype(jnp.int64) * _SP_BLK + cnt)
+
+
 def make_spans(t: jax.Array, B: int) -> Spans:
     n = t.shape[0]
-    leaf_ids = jnp.arange(B, dtype=t.dtype)
-    starts = jnp.searchsorted(t, leaf_ids, side="left").astype(jnp.int64)
+    starts = sorted_starts(t, B)
     ends = jnp.concatenate([starts[1:], jnp.full((1,), n, dtype=jnp.int64)])
     nonempty = starts < ends
     has_prev = nonempty & (starts > 0)

@@ -10,15 +10,21 @@ import, before any backend is touched.
 
 import os
 
+# RMI_SOSD_TPU=1: leave the real TPU selected so the opt-in real-SOSD
+# harness (test_sosd.py) verifies 200M-key builds at hardware speed.
+_use_tpu = os.environ.get("RMI_SOSD_TPU") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _use_tpu and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _use_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _use_tpu:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is XLA-compile-bound (every
 # (model pair, branching factor) is a fresh executable); caching across

@@ -104,6 +104,55 @@ def test_parallel_sweep(mesh, rng):
                                    b.average_log2_error, rtol=1e-12)
 
 
+def test_sweep_dispatches_before_any_sync(mesh, rng, monkeypatch):
+    """The no-per-build-sync contract behind device overlap: the sweep
+    must dispatch EVERY config, then block the host exactly once on a
+    single batched (metrics, ovf) transfer (optimizer.rs:220-231 in
+    substance — rayon keeps threads busy; here async dispatch keeps
+    devices busy).  Wall-clock overlap itself is not measurable on this
+    1-core host; the sync structure is the invariant that produces it."""
+    from rmi_tpu.parallel.sweep import parallel_measure_rmis
+    from rmi_tpu.train import api
+
+    keys = np.sort(rng.integers(0, 2**40, size=2048, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    configs = [("linear,linear", 32), ("cubic,linear", 64),
+               ("linear,linear", 16), ("linear_spline,linear", 64)]
+
+    fetches = []
+    real_fetch = api._fetch_host
+    monkeypatch.setattr(api, "_fetch_host",
+                        lambda tree: (fetches.append(tree),
+                                      real_fetch(tree))[1])
+    out = parallel_measure_rmis(ds, configs, devices=jax.devices()[:4])
+    assert len(out) == len(configs)
+    # exactly one host transfer, carrying all four builds' metrics
+    assert len(fetches) == 1
+    assert len(fetches[0]) == len(configs)
+
+
+def test_serve_replicated_matches_single(mesh, rng):
+    """parallel.serve: queries sharded + tables replicated returns the
+    same exact lower bounds as the single-device fast path."""
+    from rmi_tpu.lookup import search
+    from rmi_tpu.parallel.serve import (replicate_rmi, serving_mesh,
+                                        shard_queries)
+
+    keys = np.sort(rng.integers(0, 2**40, size=8192, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "cubic,linear", 64)
+    q = rng.integers(0, 2**41, size=1000, dtype=np.uint64)  # incl. o.o.r.
+    base = np.asarray(search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(
+        base, np.searchsorted(keys, q, side="left"))
+
+    smesh = serving_mesh(jax.devices()[:8])
+    res2 = replicate_rmi(res, smesh)
+    qs, m = shard_queries(jnp.asarray(q), smesh)
+    out = np.asarray(search(res2, qs))[:m]
+    np.testing.assert_array_equal(base, out)
+
+
 @pytest.mark.parametrize("top,leaf,B", [
     ("loglinear", "linear", 32),
     ("normal", "linear", 32),
