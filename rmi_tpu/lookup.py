@@ -151,7 +151,9 @@ def _rmi_eval_df64(queries, top_params, w_pad, leaf_errors, off, s, *,
     midx = predict_top_assignment(mtop, top_params, queries, xn, xraw,
                                   B - 1)
     rows = w_pad[midx]                      # one row gather [m, 128]
-    leaf_in = model_float_input(mleaf, xn, xraw)
+    from rmi_tpu.ops.sweep_kernel import df64_eval_input
+    leaf_in = df64_eval_input(leaf_type,
+                              model_float_input(mleaf, xn, xraw))
     guess = eval_kernel.leaf_eval_clamped(
         leaf_in, rows, leaf_type=leaf_type, ppm=ppm,
         n=n - 1).astype(jnp.int64)          # serving clamp codegen.rs:713

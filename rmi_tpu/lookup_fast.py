@@ -360,7 +360,9 @@ def _fast_search_df64(queries, top_params, packed_rows, off, s,
     midx = predict_top_assignment(mtop, top_params, queries, xn, xraw,
                                   B - 1)
     rows = packed_rows[midx]                        # ONE row gather
-    leaf_in = model_float_input(mleaf, xn, xraw)
+    from rmi_tpu.ops.sweep_kernel import df64_eval_input
+    leaf_in = df64_eval_input(leaf_type,
+                              model_float_input(mleaf, xn, xraw))
     guess = eval_kernel.leaf_eval_clamped(
         leaf_in, rows, leaf_type=leaf_type, ppm=ppm,
         n=n - 1).astype(jnp.int64)

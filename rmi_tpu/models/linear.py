@@ -77,8 +77,7 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0, pallas_span=None):
         use = spans
 
     ovf = None
-    use_kernel = (pallas_span is not None and use.B > 1
-                  and weights is None)
+    use_kernel = pallas_span is not None and use.B > 1
     if weights is None:
         if use_kernel:
             # Pallas fit path: blocked sums, no emulated-f64 cumsums
@@ -93,6 +92,9 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0, pallas_span=None):
             sx = seg.range_sum(xf, use.aug_starts, use.aug_ends, cx)
             sy = seg.range_sum(yf, use.aug_starts, use.aug_ends, cy)
         cnt = seg.aug_count(use)
+    elif use_kernel:
+        cnt, sx = seg.aug_masked_stats_blocked(use, xf, weights)
+        _, sy = seg.aug_masked_stats_blocked(use, yf, weights)
     else:
         cnt, sx = seg.aug_masked_stats(use, xf, weights)
         _, sy = seg.aug_masked_stats(use, yf, weights)
@@ -103,7 +105,8 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0, pallas_span=None):
 
     if use_kernel:
         m2, c, ovf = seg.aug_centered_moments_pallas(
-            use, xf, yf, mean_x, mean_y, span=pallas_span)
+            use, xf, yf, mean_x, mean_y, span=pallas_span,
+            weights=weights)
     elif weights is None and use.B > 1:
         m2, c = seg.aug_centered_moments_expanded(use, xf, yf, mean_x,
                                                   mean_y, cx, cy)
@@ -210,7 +213,9 @@ def _loglinear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
 def _loglinear_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
                           pallas_span=None):
     ln, w = _log_targets(yf)
-    return _slr_ranges(xf, ln, spans, weights=w)[0]
+    params, ovf = _slr_ranges(xf, ln, spans, weights=w,
+                              pallas_span=pallas_span)
+    return {"w": params, "ovf": ovf} if ovf is not None else params
 
 
 def _loglinear_predict(params, leaf_idx, keys_f):

@@ -29,21 +29,34 @@ def phi(v):
     return 1.0 / (1.0 + exp1(-1.65451 * v))
 
 
-def _ncdf_ranges(xf, yf, spans):
+def _ncdf_ranges(xf, yf, spans, pallas_span=None):
     """[B, 3] (mean, stdev, scale) per leaf.
 
     Empty containers reproduce the reference exactly (normal.rs:28-50
     with n=0): mean stays 0.0, stdev = 0/0 = NaN, scale = -inf.
+
+    With ``pallas_span`` the second moment runs through the Pallas
+    window-select + blocked range sums (the same fast path the linear
+    family uses) instead of emulated-f64 cumsums; returns a dict with
+    the kernel overflow flag then.
     """
     cnt = seg.aug_count(spans)
-    sx = seg.aug_sum(spans, xf)
-    mean = jnp.where(cnt == 0, 0.0, sx / jnp.maximum(cnt, 1.0))
-    ss = seg.aug_centered_dot(spans, xf, xf, mean, mean)
+    ovf = None
+    if pallas_span is not None and spans.B > 1:
+        sx = seg.range_sum_blocked(xf, spans.aug_starts, spans.aug_ends)
+        mean = jnp.where(cnt == 0, 0.0, sx / jnp.maximum(cnt, 1.0))
+        ss, _, ovf = seg.aug_centered_moments_pallas(
+            spans, xf, xf, mean, mean, span=pallas_span)
+    else:
+        sx = seg.aug_sum(spans, xf)
+        mean = jnp.where(cnt == 0, 0.0, sx / jnp.maximum(cnt, 1.0))
+        ss = seg.aug_centered_dot(spans, xf, xf, mean, mean)
     stdev = jnp.sqrt(jnp.where(cnt == 0, jnp.nan,
                                jnp.maximum(ss, 0.0) / jnp.maximum(cnt, 1.0)))
     last = jnp.clip(spans.aug_ends - 1, 0, max(spans.n - 1, 0))
     scale = jnp.where(cnt == 0, -jnp.inf, yf[last])
-    return jnp.stack([mean, stdev, scale], axis=-1)
+    w = jnp.stack([mean, stdev, scale], axis=-1)
+    return {"w": w, "ovf": ovf} if ovf is not None else w
 
 
 def _normal_predict(params, leaf_idx, keys_f):
@@ -65,7 +78,7 @@ def _normal_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
 
 def _normal_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
                        pallas_span=None):
-    return _ncdf_ranges(xf, yf, spans)
+    return _ncdf_ranges(xf, yf, spans, pallas_span=pallas_span)
 
 
 register(ModelDef(
@@ -87,7 +100,8 @@ def _lognormal_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
 
 def _lognormal_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
                           pallas_span=None):
-    return _ncdf_ranges(_ln_or_zero(xf), yf, spans)
+    return _ncdf_ranges(_ln_or_zero(xf), yf, spans,
+                        pallas_span=pallas_span)
 
 
 def _lognormal_predict(params, leaf_idx, keys_f):

@@ -97,6 +97,23 @@ def fma(ah, al, xh, xl, bh, bl):
     return add(ph, plo, bh, bl)
 
 
+def div(xh, xl, yh, yl):
+    """(xh, xl) / (yh, yl), ~2^-46 relative (long division: leading
+    quotient + one residual correction).
+
+    Matches IEEE propagation loosely only: y == 0 yields NaN (not
+    +/-inf) because the residual multiplies inf*0.  Both the error
+    sweep and the serving eval run THIS code, so the bound contract is
+    unaffected (see module docstring); zero-stdev normal leaves differ
+    from the reference's f64 inf only in df64 mode, like every other
+    df64 rounding divergence."""
+    q1 = xh / yh
+    p, e = two_prod(q1, yh)
+    rh, rl = add(xh, xl, -p, -(e + q1 * yl))
+    q2 = rh / yh
+    return fast_two_sum(q1, q2)
+
+
 def neg(xh, xl):
     return -xh, -xl
 

@@ -54,7 +54,36 @@ def use_interpret() -> bool:
 SPANS = (64, 256, 1024)   # supported per-block leaf-row windows
 
 PALLAS_SWEEP_LEAVES = ("linear", "robust_linear", "linear_spline",
-                       "cubic", "loglinear")
+                       "cubic", "loglinear", "normal", "lognormal")
+
+# df64 pair of the normal-CDF logistic constant (normal.rs:24-26);
+# -1.65451 is not f32-representable, so it travels as an (hi, lo) pair.
+_PHI_K_H, _PHI_K_L = df64.from_np(-1.65451)
+
+
+def df64_eval_input(leaf_type: str, leaf_in):
+    """The f64 per-key input the df64 kernels expect.
+
+    lognormal predicts on fmax(0, ln(x)) with NaN -> 0 (normal.rs:166);
+    the ln is a PER-KEY input transform, so it runs in exact XLA f64
+    OUTSIDE the kernel and the kernel then treats lognormal exactly as
+    normal — no in-kernel transcendental needed.  Every df64 consumer
+    (error sweep, epsilon probes, both serving paths) must route its
+    input through this function so build and serve agree bit-for-bit.
+    """
+    if leaf_type == "lognormal":
+        raw = jnp.log(leaf_in)
+        return jnp.where(jnp.isnan(raw), 0.0, jnp.maximum(raw, 0.0))
+    return leaf_in
+
+
+def _exp1_df64(vh, vl):
+    """exp1(v) = (1 + v/64)^64 (linear.rs:156-166): 6 df64 squarings."""
+    vh, vl = df64.mul_f32(vh, vl, jnp.float32(1.0 / 64.0))
+    vh, vl = df64.add_f32(vh, vl, jnp.float32(1.0))
+    for _ in range(6):
+        vh, vl = df64.mul(vh, vl, vh, vl)
+    return vh, vl
 
 
 def leaf_eval_df64(leaf_type: str, cols, xh, xl):
@@ -64,7 +93,10 @@ def leaf_eval_df64(leaf_type: str, cols, xh, xl):
     operation order mirrors the reference exactly: linear is
     fma(beta, x, alpha) (linear.rs:89), cubic is three chained fmas
     (cubic_spline.rs:144-149), loglinear is exp1(fma(beta, x, alpha))
-    (linear.rs:156-166).
+    (linear.rs:156-166), normal/lognormal are
+    phi((x - mean)/stdev) * scale with the logistic phi
+    (normal.rs:24-26, 163-167; the lognormal ln is precomputed —
+    see df64_eval_input).
     """
     if leaf_type in ("linear", "robust_linear", "linear_spline"):
         ah, al = cols(0)
@@ -80,12 +112,19 @@ def leaf_eval_df64(leaf_type: str, cols, xh, xl):
         ah, al = cols(0)
         bh, bl = cols(1)
         vh, vl = df64.fma(bh, bl, xh, xl, ah, al)
-        # exp1(v) = (1 + v/64)^64 (linear.rs:156-166): 6 df64 squarings
-        vh, vl = df64.mul_f32(vh, vl, jnp.float32(1.0 / 64.0))
-        vh, vl = df64.add_f32(vh, vl, jnp.float32(1.0))
-        for _ in range(6):
-            vh, vl = df64.mul(vh, vl, vh, vl)
-        return vh, vl
+        return _exp1_df64(vh, vl)
+    if leaf_type in ("normal", "lognormal"):
+        mh, ml = cols(0)
+        sh, sl = cols(1)
+        ch, cl = cols(2)
+        dh, dl = df64.sub(xh, xl, mh, ml)
+        zh, zl = df64.div(dh, dl, sh, sl)
+        uh, ul = df64.mul(zh, zl, jnp.float32(_PHI_K_H),
+                          jnp.float32(_PHI_K_L))
+        eh, el = _exp1_df64(uh, ul)
+        qh, ql = df64.add_f32(eh, el, jnp.float32(1.0))
+        ph, plo = df64.div(jnp.float32(1.0), jnp.float32(0.0), qh, ql)
+        return df64.mul(ph, plo, ch, cl)
     raise ValueError(leaf_type)
 
 

@@ -11,10 +11,14 @@ accurate of the two closest-in-size configs (optimizer.rs:74-108).
 Profiles come from RMI_OPTIMIZER_PROFILE in {fast, memory, disk}
 (optimizer.rs:15-57).
 
-Parallelism note: the reference fans configs across rayon threads
-(optimizer.rs:224).  Here every individual build already saturates the
-chip, so configs run sequentially on one device and data-parallel
-across devices when a mesh is provided (see rmi_tpu.parallel).
+Parallelism + compile strategy: the reference fans configs across
+rayon threads (optimizer.rs:224).  Here the grid is measured by ONE
+compiled B-generic program per (model pair, bucket) that sweeps every
+branching factor on-device (grid_measure_rmis /
+two_layer._metrics_grid_core), pairs fan out round-robin over the
+device pool, and the host blocks once on a batched metrics fetch.
+RMI_OPT_BUCKETED=0 falls back to one build per (pair, branching
+factor).
 """
 
 from __future__ import annotations
@@ -179,6 +183,148 @@ def measure_rmis(data, configs: Sequence[Tuple[str, int]],
     return out
 
 
+# ---------------------------------------------------------------------------
+# B-bucketed (compile-once) sweep
+# ---------------------------------------------------------------------------
+
+# Model families whose fits read the branching factor only through the
+# pre-scaled targets / shapes, so ONE compiled program serves every
+# branching factor (two_layer._metrics_grid_core).  bradix (chi^2 bin
+# count) and histogram (bin count) consume B statically and are not in
+# the optimizer grid anyway (optimizer.rs:16-57).
+_B_GENERIC_TOPS = frozenset({
+    "linear", "robust_linear", "loglinear", "linear_spline", "cubic",
+    "normal", "lognormal", "radix", "radix8", "radix18", "radix22",
+    "radix26", "radix28"})
+_B_GENERIC_LEAVES = frozenset({
+    "linear", "robust_linear", "loglinear", "linear_spline", "cubic",
+    "normal", "lognormal"})
+
+# Largest pad bucket a single grid program uses; branching factors
+# above it (disk profile reaches 2^27) go into a second bucket so the
+# common grid's [bucket]-sized arrays stay ~100s of MB.
+_GRID_BUCKET_CAP = 1 << 24
+
+
+def bucket_for(bs: Sequence[int]) -> int:
+    """The static pad bucket for a set of branching factors: the next
+    power of two >= max(bs) (all grid factors are powers of two, so in
+    practice this IS max(bs))."""
+    m = max(int(b) for b in bs)
+    return 1 << (m - 1).bit_length()
+
+
+def _bucket_groups(bfs: Sequence[int]) -> List[Tuple[int, List[int]]]:
+    small = [b for b in bfs if b <= _GRID_BUCKET_CAP]
+    large = [b for b in bfs if b > _GRID_BUCKET_CAP]
+    out = []
+    if small:
+        out.append((bucket_for(small), small))
+    if large:
+        out.append((bucket_for(large), large))
+    return out
+
+
+def grid_measurable(models: str) -> bool:
+    top, leaf = models.split(",")
+    return top in _B_GENERIC_TOPS and leaf in _B_GENERIC_LEAVES
+
+
+def grid_measure_rmis(data, pairs: Sequence[str], bfs: Sequence[int],
+                      devices=None) -> dict:
+    """Measure every (pair, branching factor) grid point with ONE
+    compiled program per (pair, bucket) — the B-bucketed sweep that
+    makes --optimize / --max-size practical on TPU.
+
+    Pairs fan out round-robin over the device pool (replicated keys,
+    rayon-par_iter in substance, optimizer.rs:220-231); every grid is
+    dispatched before the single batched host fetch.  Returns
+    {(models, bf): RMIStatistics}.
+    """
+    import jax
+
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu.serialize import predicted_rmi_size
+    from rmi_tpu.train import two_layer
+    from rmi_tpu.train.api import _fetch_host, _norm_cached
+
+    if devices is None:
+        devices = jax.devices()
+    norm = _norm_cached(data)
+    if len(devices) > 1:
+        replicas = [RMIDataset(keys=jax.device_put(data.keys, d),
+                               key_type=data.key_type)
+                    for d in devices]
+    else:
+        replicas = [data]
+
+    pending = []
+    for i, models in enumerate(pairs):
+        top_t, leaf_t = models.split(",")
+        ds = replicas[i % len(replicas)]
+        for bucket, bs in _bucket_groups(bfs):
+            md = two_layer.metrics_grid_async(
+                ds.keys, ds.key_type, top_t, leaf_t, bs, bucket,
+                norm=norm)
+            pending.append((models, bs, md))
+
+    fetched = _fetch_host([md for _, _, md in pending])
+
+    out = {}
+    for (models, bs, _), mh in zip(pending, fetched):
+        for i, bf in enumerate(bs):
+            out[(models, bf)] = RMIStatistics(
+                models=models, branching_factor=bf,
+                average_log2_error=float(mh["model_avg_log2_error"][i]),
+                max_log2_error=float(mh["model_max_log2_error"][i]),
+                size=predicted_rmi_size(models, bf))
+    return out
+
+
+def _ordered_unique(xs):
+    out = []
+    for x in xs:
+        if x not in out:
+            out.append(x)
+    return out
+
+
+def _find_pareto_bucketed(data, restrict, progress, reuse_phase1):
+    """Two-phase sweep over grid-measured statistics.  Identical
+    selection logic to the per-build path (phase-1 probes decide the
+    qualifying pairs; the final pool is phase-2 points only, unless
+    reuse_phase1) — only the measurement strategy differs: phase 1 is
+    one grid program per pair at the (small) probe bucket, phase 2 one
+    per qualifying pair at the full-range bucket."""
+    cfg1 = first_phase_configs()
+    pairs1 = _ordered_unique(m for m, _ in cfg1)
+    probe_bfs = _ordered_unique(b for _, b in cfg1)
+    stats = grid_measure_rmis(data, pairs1, probe_bfs)
+    phase1 = [stats[c] for c in cfg1]
+    if progress is not None:
+        for st in phase1:
+            progress(st)
+    cfg2 = second_phase_configs(phase1)
+    phase2 = []
+    if cfg2:
+        pairs2 = _ordered_unique(m for m, _ in cfg2)
+        # every qualifying pair skips the same phase-1 probes, so the
+        # remaining branching factors are uniform across pairs
+        bfs2 = _ordered_unique(b for _, b in cfg2)
+        stats2 = grid_measure_rmis(data, pairs2, bfs2)
+        phase2 = [stats2[c] for c in cfg2]
+    if progress is not None:
+        for st in phase2:
+            progress(st)
+    pool = list(phase2)
+    if reuse_phase1:
+        qualifying = {r.models for r in pareto_front(phase1)}
+        pool.extend(r for r in phase1 if r.models in qualifying)
+    front = narrow_front(pareto_front(pool), restrict)
+    front.sort(key=lambda r: r.average_log2_error)
+    return front
+
+
 def find_pareto_efficient_configs(data, restrict: int = 10,
                                   progress=None,
                                   reuse_phase1: bool = False
@@ -192,7 +338,17 @@ def find_pareto_efficient_configs(data, restrict: int = 10,
     is a strict improvement: phase-1 measurements of qualifying model
     pairs join the final front pool — same training cost, never a worse
     front.
+
+    Measurement runs on the B-bucketed grid path (grid_measure_rmis)
+    when every grid pair supports it — one compile per (pair, bucket)
+    instead of one per (pair, branching factor).  RMI_OPT_BUCKETED=0
+    forces the per-build path.
     """
+    if (os.environ.get("RMI_OPT_BUCKETED", "1") != "0"
+            and all(grid_measurable(m)
+                    for m, _ in first_phase_configs())):
+        return _find_pareto_bucketed(data, restrict, progress,
+                                     reuse_phase1)
     phase1 = measure_rmis(data, first_phase_configs(), progress)
     phase2 = measure_rmis(data, second_phase_configs(phase1), progress)
     pool = list(phase2)

@@ -53,6 +53,29 @@ def rmi_size(rmi) -> int:
     return total
 
 
+def predicted_rmi_size(models: str, branching_factor: int,
+                       with_errors: bool = True) -> int:
+    """rmi_size computed from the configuration alone.
+
+    For every model pair the optimizer sweeps, the artifact size is
+    shape-determined (codegen.rs:375-394: per-model parameter bytes +8
+    per leaf for the error bound) — only histogram tops (data-dependent
+    bin count) and cachefix knots escape this, and neither appears in
+    the optimizer grid (optimizer.rs:16-57).  Lets the B-generic grid
+    sweep skip materializing trained parameters entirely.
+    """
+    top_type, leaf_type = models.split(",")
+    mt = get_model(top_type)
+    if mt.bytes_per_model is None:
+        raise ValueError(f"{top_type} has data-dependent size; "
+                         "train and use rmi_size()")
+    ml = get_model(leaf_type)
+    total = mt.bytes_per_model + ml.bytes_per_model * branching_factor
+    if with_errors:
+        total += 8 * branching_factor
+    return total
+
+
 # ---------------------------------------------------------------------------
 # binary parameter blobs (little-endian, reference layout)
 # ---------------------------------------------------------------------------

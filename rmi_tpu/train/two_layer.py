@@ -81,7 +81,7 @@ def _fixdups_i32(keys):
     idx = jnp.arange(n, dtype=jnp.int32)
     changed = jnp.concatenate(
         [jnp.ones((1,), bool), keys[1:] != keys[:-1]])
-    return jax.lax.cummax(jnp.where(changed, idx, 0))
+    return seg.blocked_cummax(jnp.where(changed, idx, 0))
 
 
 def lower_bound_fills(spans: seg.Spans, keys, key_type: KeyType):
@@ -123,11 +123,11 @@ def _run_lengths_i32(keys, n, run_start=None):
     if run_start is None:
         changed = jnp.concatenate([jnp.ones((1,), bool),
                                    keys[1:] != keys[:-1]])
-        run_start = jax.lax.cummax(jnp.where(changed, idx, 0))
+        run_start = seg.blocked_cummax(jnp.where(changed, idx, 0))
     ends_run = jnp.concatenate([keys[1:] != keys[:-1],
                                 jnp.ones((1,), bool)])
-    run_end = jax.lax.cummin(
-        jnp.where(ends_run, idx, jnp.int32(n - 1))[::-1])[::-1]
+    run_end = seg.blocked_cummin(
+        jnp.where(ends_run, idx, jnp.int32(n - 1)), reverse=True)
     run_len = run_end - run_start + 1
     return jnp.where(run_end < n - 1, run_len, 0)
 
@@ -174,7 +174,7 @@ def _leaf_eval_cols(leaf_type: str, cols, x):
 # ---------------------------------------------------------------------------
 
 def _assign_body(keys, kminf, s, *, top_type: str, B: int,
-                 key_type: KeyType, b_dyn=None, sf_dyn=None):
+                 key_type: KeyType, b_dyn=None, sf_dyn=None, yfix=None):
     """``b_dyn``/``sf_dyn`` (traced scalars) activate B-generic mode:
     the program is compiled for the static PAD bucket ``B`` but trains
     the RMI for the true branching factor ``b_dyn`` (scale
@@ -186,7 +186,8 @@ def _assign_body(keys, kminf, s, *, top_type: str, B: int,
     mtop = get_model(top_type)
     xraw = keymod.as_float(keys)
     xn = (xraw - kminf) * s
-    yfix = _fixdups_i32(keys)
+    if yfix is None:
+        yfix = _fixdups_i32(keys)
     yfix_f = yfix.astype(jnp.float64)
     if sf_dyn is None:
         sf = float(B) / float(n)   # two_layer.rs:109
@@ -381,11 +382,13 @@ def _probe_df64_body(n, w_pad, next_key, prev_key, kminf, s, *,
     mleaf = get_model(leaf_type)
     ppm = mleaf.ppm
 
+    from rmi_tpu.ops.sweep_kernel import df64_eval_input
+
     def probe_input(probe_keys):
         pf = keymod.as_float(probe_keys)
-        if mleaf.input_domain == "raw":
-            return pf
-        return (pf - kminf) * s
+        if mleaf.input_domain != "raw":
+            pf = (pf - kminf) * s
+        return df64_eval_input(leaf_type, pf)
 
     up_keys = keymod.minus_epsilon(next_key, key_type)
     pred_up = eval_kernel.leaf_eval_clamped(
@@ -439,8 +442,8 @@ def _train_core_pallas(keys, kminf, s, b_dyn=None, sf_dyn=None, *,
     w_pad = sweep_kernel.pad_param_table(leaf_params["w"])
     blk_lo, _max_span = sweep_kernel.block_leaf_bounds(t)
     err, ovf = sweep_kernel.sweep_errors(
-        leaf_in, yfix, t, w_pad, blk_lo, leaf_type=leaf_type, n=n, B=B,
-        ppm=mleaf.ppm, span=span)
+        sweep_kernel.df64_eval_input(leaf_type, leaf_in), yfix, t, w_pad,
+        blk_lo, leaf_type=leaf_type, n=n, B=B, ppm=mleaf.ppm, span=span)
     ovf = jnp.maximum(ovf, fit_ovf)
     pred_up, pred_lo = _probe_df64_body(
         n, w_pad, next_key, prev_key, kminf, s, leaf_type=leaf_type,
@@ -544,6 +547,77 @@ def train_two_layer_async(keys, key_type: KeyType, top_type: str,
         return out + (kminf, s, "xla"), False
 
     return out[5], None, finish
+
+
+# ---------------------------------------------------------------------------
+# B-generic metrics grid (the compile-once optimizer sweep)
+# ---------------------------------------------------------------------------
+
+# Metrics the optimizer consumes per (models, branching factor) point.
+GRID_METRIC_KEYS = ("model_avg_log2_error", "model_max_log2_error",
+                    "model_max_error")
+
+
+@functools.partial(jax.jit, static_argnames=("top_type", "leaf_type",
+                                             "B", "key_type"))
+def _metrics_grid_core(keys, kminf, s, b_arr, *, top_type: str,
+                       leaf_type: str, B: int, key_type: KeyType):
+    """Measure-only builds for MANY branching factors in ONE program.
+
+    The reference's --optimize drives hundreds of full builds across a
+    (models, branching factor) grid (optimizer.rs:110-151, 233-249);
+    compiling a fresh XLA program per branching factor made that
+    impractical on the tunneled TPU compiler (minutes per compile).
+    Here the program is compiled once per (model pair, bucket B) with
+    the TRUE branching factor ``b`` a traced scalar: arrays are sized
+    for the static pad bucket ``B``, leaves in [b, B) stay empty
+    (their spans are [n, n)) and are masked out of the error metrics
+    (see _sweep_tail's b_dyn handling).  ``lax.map`` then runs the
+    whole grid sequentially on-device with per-iteration temporaries
+    freed — one compile, one host fetch for every branching factor.
+
+    FixDups positions are b-invariant and hoisted out of the loop.
+    Returns a dict of [len(b_arr)]-stacked metric arrays.
+    """
+    yfix = _fixdups_i32(keys)
+    n = keys.shape[0]
+
+    def one(b):
+        sf = b.astype(jnp.float64) / jnp.float64(n)
+        yf, _top_params, t = _assign_body(
+            keys, kminf, s, top_type=top_type, B=B, key_type=key_type,
+            b_dyn=b, sf_dyn=sf, yfix=yfix)
+        (leaf_params, _patch, next_idx, next_key, prev_key, starts, ends,
+         nonempty) = _fit_body(keys, yf, t, kminf, s, leaf_type=leaf_type,
+                               B=B, key_type=key_type, b_dyn=b)
+        _leaf_errors, metrics = _sweep_body(
+            keys, yf, t, _predict_params(leaf_params), next_idx, next_key,
+            prev_key, starts, ends, nonempty, kminf, s,
+            leaf_type=leaf_type, B=B, key_type=key_type, b_dyn=b)
+        return {k: metrics[k] for k in GRID_METRIC_KEYS}
+
+    return jax.lax.map(one, b_arr)
+
+
+def metrics_grid_async(keys, key_type: KeyType, top_type: str,
+                       leaf_type: str, bs, bucket: int = None, norm=None):
+    """Dispatch a B-generic metrics grid (no host sync).
+
+    Returns the device-resident dict of [len(bs)]-stacked metrics;
+    fetch with jax.device_get (batched across pairs by the optimizer).
+    """
+    validate_spec([top_type, leaf_type])
+    bs = [int(b) for b in bs]
+    if bucket is None:
+        bucket = 1 << (max(bs) - 1).bit_length()
+    if max(bs) > bucket:
+        raise ValueError(f"bucket {bucket} < max branching factor {max(bs)}")
+    kminf, s = norm_constants(keys, key_type) if norm is None else norm
+    b_arr = jnp.asarray(bs, dtype=jnp.int32)
+    return _metrics_grid_core(
+        keys, jnp.float64(kminf), jnp.float64(s), b_arr,
+        top_type=top_type, leaf_type=leaf_type, B=int(bucket),
+        key_type=key_type)
 
 
 def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,

@@ -92,10 +92,20 @@ def range_sum_blocked(values: jax.Array, starts: jax.Array,
     REDUCTION costs ~1.5ns/element (probes/probe_build_phases.py).  So:
     512-element block sums (one reduction pass), a cumsum over the
     tiny [n/512] partials, and per-range head/tail corrections via two
-    [B, 512] row gathers with lane masks.  Summation order differs
-    from the prefix-sum path by normal f64 rounding only.
+    [B, 512] row gathers with lane masks (chunked over the leaf axis
+    above _ROW_DIRECT_MAX).  Summation order differs from the
+    prefix-sum path by normal f64 rounding only.
     """
     rows, cb = blocked_partials(values) if partials is None else partials
+    B = starts.shape[0]
+    if B <= _ROW_DIRECT_MAX:
+        return _range_sum_blocked_solve(rows, cb, starts, ends)
+    return _map_leaf_chunks(
+        lambda s_c, e_c: _range_sum_blocked_solve(rows, cb, s_c, e_c),
+        B, starts, ends)
+
+
+def _range_sum_blocked_solve(rows, cb, starts, ends):
     nb = rows.shape[0]
 
     s = starts.astype(jnp.int32)
@@ -125,6 +135,61 @@ def range_sum_blocked(values: jax.Array, starts: jax.Array,
     return out
 
 
+# ---------------------------------------------------------------------------
+# blocked monotone scans (exact: max/min have no rounding)
+# ---------------------------------------------------------------------------
+
+_SCAN_BLK = 512
+_SCAN_DIRECT_MAX = 1 << 16   # below this, XLA's native cum* is fine
+
+
+def _blocked_scan(v: jax.Array, op, fill, reverse: bool) -> jax.Array:
+    """Inclusive running ``op`` (max/min) over [n], two-level blocked.
+
+    XLA lowers lax.cummax/cummin on [n]-scale arrays to ~log2(n)
+    shifted passes over the FULL array (~70ms each at n=200M,
+    probes/probe_trace_build.py); this form does log2(512) lane-shift
+    passes over [n] plus a tiny [n/512] block scan — ~3x fewer full
+    passes, and the per-pass shift is a 128-lane-aligned slice.
+    Bit-exact: max/min never round.
+    """
+    n = v.shape[0]
+    if n <= _SCAN_DIRECT_MAX:
+        scan = jax.lax.cummax if op is jnp.maximum else jax.lax.cummin
+        return scan(v[::-1])[::-1] if reverse else scan(v)
+    if reverse:
+        return _blocked_scan(v[::-1], op, fill, False)[::-1]
+    fill_v = jnp.asarray(fill, v.dtype)
+    nb = -(-n // _SCAN_BLK)
+    pad = nb * _SCAN_BLK - n
+    vp = jnp.concatenate([v, jnp.full((pad,), fill_v, v.dtype)]) \
+        if pad else v
+    x = vp.reshape(nb, _SCAN_BLK)
+    sh = 1
+    while sh < _SCAN_BLK:
+        shifted = jnp.concatenate(
+            [jnp.full((nb, sh), fill_v, v.dtype), x[:, :-sh]], axis=1)
+        x = op(x, shifted)
+        sh *= 2
+    scan = jax.lax.cummax if op is jnp.maximum else jax.lax.cummin
+    block_inc = scan(x[:, -1])
+    carry = jnp.concatenate([jnp.full((1,), fill_v, v.dtype),
+                             block_inc[:-1]])
+    return op(x, carry[:, None]).reshape(-1)[:n]
+
+
+def blocked_cummax(v: jax.Array, reverse: bool = False) -> jax.Array:
+    return _blocked_scan(v, jnp.maximum, jnp.iinfo(v.dtype).min
+                         if jnp.issubdtype(v.dtype, jnp.integer)
+                         else -jnp.inf, reverse)
+
+
+def blocked_cummin(v: jax.Array, reverse: bool = False) -> jax.Array:
+    return _blocked_scan(v, jnp.minimum, jnp.iinfo(v.dtype).max
+                         if jnp.issubdtype(v.dtype, jnp.integer)
+                         else jnp.inf, reverse)
+
+
 @dataclasses.dataclass
 class Spans:
     """Per-leaf contiguous ranges over the sorted key array.
@@ -148,6 +213,29 @@ class Spans:
 
 
 _SP_BLK = 512
+
+# Largest leaf-axis size for which [B, lanes] row-gather intermediates
+# materialize directly; above it the leaf axis is processed in
+# _ROW_CHUNK-sized lax.map chunks so HBM stays O(n + chunk*lanes).
+# (The optimizer grid reaches B = 2^24..2^27, where a direct [B, 512]
+# gather would be 32..256GB.)
+_ROW_DIRECT_MAX = 1 << 17
+_ROW_CHUNK = 1 << 16
+
+
+def _map_leaf_chunks(solve, B: int, *leaf_arrays):
+    """Apply ``solve(*chunks) -> [C]`` over _ROW_CHUNK-sized chunks of
+    the [B]-shaped ``leaf_arrays`` and concatenate to [B].  ``solve``
+    must be shape-uniform across chunks (arrays are zero-padded up to a
+    chunk multiple; callers slice the result back to B)."""
+    nc = -(-B // _ROW_CHUNK)
+    padded = []
+    for a in leaf_arrays:
+        pad = nc * _ROW_CHUNK - B
+        ap = jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) if pad else a
+        padded.append(ap.reshape(nc, _ROW_CHUNK))
+    out = jax.lax.map(lambda args: solve(*args), tuple(padded))
+    return out.reshape(nc * _ROW_CHUNK)[:B]
 
 
 def sorted_starts(t: jax.Array, B: int) -> jax.Array:
@@ -183,9 +271,17 @@ def sorted_starts(t: jax.Array, B: int) -> jax.Array:
         jnp.arange(nb, dtype=jnp.int32), mode="drop")
     k0 = jax.lax.cummin(k_at[::-1])[::-1]
     blk = jnp.minimum(k0, nb - 1)     # k0 == nb: j past every element;
-    row = rows[blk]                   # the last block then counts all
-    cnt = jnp.sum(row < jnp.arange(B, dtype=jnp.int32)[:, None],
-                  axis=1, dtype=jnp.int32)   # its real elements -> n
+    jall = jnp.arange(B, dtype=jnp.int32)  # the last block counts all
+
+    def count_lt(blk_c, j_c):
+        # row gather of each leaf's straddling block + full-lane count
+        return jnp.sum(rows[blk_c] < j_c[:, None], axis=1,
+                       dtype=jnp.int32)
+
+    if B <= _ROW_DIRECT_MAX:
+        cnt = count_lt(blk, jall)
+    else:
+        cnt = _map_leaf_chunks(count_lt, B, blk, jall)
     return (blk.astype(jnp.int64) * _SP_BLK + cnt)
 
 
@@ -359,15 +455,27 @@ def range_max(values: jax.Array, starts: jax.Array, ends: jax.Array,
     blocks, lane-masked) plus one bandwidth pass to build the next
     level; the topmost (<=256-element) level resolves by broadcast.
     Replaces segment_max scatters, which cost ~30ns/element on TPU.
+    Above _ROW_DIRECT_MAX leaves the per-leaf resolve runs in chunks so
+    the [B, 128] edge gathers never materialize at once.
     """
     fill_v = jnp.asarray(fill, values.dtype)
-    lanes = jnp.arange(_BLK, dtype=jnp.int32)
 
     levels = [values]
     while levels[-1].shape[0] > 256:
         levels.append(_block_maxes(levels[-1], fill_v))
 
-    out = jnp.full(starts.shape, fill_v, values.dtype)
+    B = starts.shape[0]
+    if B <= _ROW_DIRECT_MAX:
+        return _range_max_solve(levels, fill_v, starts, ends)
+    # chunked: pad with empty (0,0) spans, which resolve to fill
+    return _map_leaf_chunks(
+        lambda s_c, e_c: _range_max_solve(levels, fill_v, s_c, e_c),
+        B, starts, ends)
+
+
+def _range_max_solve(levels, fill_v, starts, ends):
+    lanes = jnp.arange(_BLK, dtype=jnp.int32)
+    out = jnp.full(starts.shape, fill_v, levels[0].dtype)
     s = starts.astype(jnp.int64)
     e = ends.astype(jnp.int64)
 
@@ -484,7 +592,7 @@ def aug_centered_moments_expanded(spans: Spans, x, y, mean_x, mean_y,
 
 
 def aug_centered_moments_pallas(spans: Spans, x, y, mean_x, mean_y, *,
-                                span: int):
+                                span: int, weights=None):
     """(m2, c, ovf): centered moments with per-key means expanded by
     the Pallas window-select kernel (exact f32-pair means — no cumsum
     drift) and blocked range sums (no emulated-f64 cumsums).
@@ -493,6 +601,8 @@ def aug_centered_moments_pallas(spans: Spans, x, y, mean_x, mean_y, *,
     the moments by ~cnt * (c'-m)^2 with |c'-m| <= 2^-48|m| —
     far below f64 summation noise, so no shift correction is needed.
     Edge (overlap) contributions use the exact means as before.
+    ``weights`` in {0,1} drop items (loglinear's non-finite logs,
+    linear.rs:63-67).
     """
     from rmi_tpu.ops.select_kernel import window_select
     (mx_k, my_k), ovf = window_select(spans.t, [mean_x, mean_y],
@@ -501,6 +611,9 @@ def aug_centered_moments_pallas(spans: Spans, x, y, mean_x, mean_y, *,
     dy = y - my_k
     dxx = dx * dx
     dxy = dx * dy
+    if weights is not None:
+        dxx = dxx * weights
+        dxy = dxy * weights
     px = blocked_partials(dxx)
     py = blocked_partials(dxy)
     i_m2 = range_sum_blocked(dxx, spans.starts, spans.ends, px)
@@ -511,12 +624,25 @@ def aug_centered_moments_pallas(spans: Spans, x, y, mean_x, mean_y, *,
         ex = x[i] - mean_x
         exx = ex * ex
         exy = ex * (y[i] - mean_y)
+        if weights is not None:
+            exx = exx * weights[i]
+            exy = exy * weights[i]
         return (jnp.where(present, exx, 0.0),
                 jnp.where(present, exy, 0.0))
 
     pxx, pxy = edge_terms(spans.starts - 1, spans.has_prev)
     nxx, nxy = edge_terms(spans.ends, spans.has_next)
     return i_m2 + pxx + nxx, i_c + pxy + nxy, ovf
+
+
+def aug_masked_stats_blocked(spans: Spans, values: jax.Array,
+                             weights: jax.Array):
+    """aug_masked_stats via blocked partial sums (the Pallas fit path —
+    no emulated-f64 cumsums)."""
+    cnt = range_sum_blocked(weights, spans.aug_starts, spans.aug_ends)
+    s = range_sum_blocked(values * weights, spans.aug_starts,
+                          spans.aug_ends)
+    return cnt, s
 
 
 def fill_forward(values_list, starts, nonempty, n: int):

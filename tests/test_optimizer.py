@@ -104,3 +104,98 @@ def test_train_for_size(monkeypatch, rng):
     # branching factors (here 2^6) can be absent; budget accordingly.
     res = train_for_size(ds, 10000)
     assert rmi_size(res) < 10000
+
+
+# ---------------------------------------------------------------------------
+# B-bucketed (compile-once) grid sweep
+# ---------------------------------------------------------------------------
+
+def test_predicted_rmi_size_matches_trained(rng):
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu.serialize import predicted_rmi_size, rmi_size
+    from rmi_tpu.train.api import train
+    keys = np.sort(rng.integers(0, 2**40, size=3000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    for models, bf in [("cubic,linear", 64), ("radix,linear", 128),
+                       ("radix18,cubic", 32), ("linear_spline,linear", 256),
+                       ("robust_linear,cubic", 64)]:
+        assert predicted_rmi_size(models, bf) == rmi_size(train(ds, models, bf))
+
+
+def test_grid_metrics_parity(rng):
+    """One B-generic program per pair must reproduce the per-build
+    measurements: max errors exactly; avg log2 to within decision
+    noise.  (The b-generic arithmetic itself is EXACT — calling
+    _train_core_mono with a traced b reproduces the static build
+    bit-for-bit — but lax.map compiles the body with different fusion,
+    which at b > n can flip cubic's knife-edge l_err < c_err fallback
+    on a handful of 1-2 key leaves; same class as the documented
+    floor-boundary divergence, two_layer.py module docstring.)"""
+    import jax
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu.train import two_layer
+    from rmi_tpu.train.api import train
+    keys = np.sort(np.concatenate([
+        rng.integers(0, 2**50, 3800, dtype=np.uint64),
+        np.repeat(rng.integers(0, 2**50, 20, dtype=np.uint64), 10)]))
+    ds = RMIDataset.from_numpy(keys)
+    bs = [8, 32, 128, 8192]          # includes b > n
+    for models in ["cubic,linear", "radix,linear", "radix18,cubic",
+                   "linear_spline,linear", "normal,linear",
+                   "loglinear,linear_spline"]:
+        top, leaf = models.split(",")
+        md = jax.device_get(two_layer.metrics_grid_async(
+            ds.keys, ds.key_type, top, leaf, bs, bucket=8192))
+        for i, b in enumerate(bs):
+            r = train(ds, models, b)
+            assert int(md["model_max_error"][i]) == int(r.model_max_error), \
+                (models, b)
+            np.testing.assert_allclose(
+                float(md["model_avg_log2_error"][i]),
+                r.model_avg_log2_error, rtol=0, atol=0.02,
+                err_msg=f"{models} {b}")
+
+
+def test_bucketed_front_matches_legacy(monkeypatch, rng):
+    """The compile-once sweep must select the same Pareto front as the
+    per-build sweep (one grid program per pair vs one program per
+    (pair, B))."""
+    from rmi_tpu import optimizer
+    from rmi_tpu.data import RMIDataset
+    monkeypatch.setenv("RMI_OPTIMIZER_PROFILE", "fast")
+    monkeypatch.setattr(optimizer, "branching_factors",
+                        lambda: [2**i for i in range(4, 12, 2)])
+    keys = np.sort(rng.integers(0, 2**40, size=5000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+
+    monkeypatch.setenv("RMI_OPT_BUCKETED", "0")
+    legacy = find_pareto_efficient_configs(ds, restrict=6)
+    monkeypatch.setenv("RMI_OPT_BUCKETED", "1")
+    bucketed = find_pareto_efficient_configs(ds, restrict=6)
+
+    assert ([(r.models, r.branching_factor, r.size) for r in legacy]
+            == [(r.models, r.branching_factor, r.size) for r in bucketed])
+    for a, b in zip(legacy, bucketed):
+        np.testing.assert_allclose(a.average_log2_error,
+                                   b.average_log2_error, rtol=2e-3)
+
+
+def test_grid_measure_single_fetch(monkeypatch, rng):
+    """The whole grid (every pair x every branching factor) must reach
+    the host in ONE batched transfer."""
+    from rmi_tpu import optimizer
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu.train import api
+    keys = np.sort(rng.integers(0, 2**40, size=2048, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+
+    fetches = []
+    real_fetch = api._fetch_host
+    monkeypatch.setattr(api, "_fetch_host",
+                        lambda tree: (fetches.append(tree),
+                                      real_fetch(tree))[1])
+    pairs = ["cubic,linear", "linear,cubic"]
+    bfs = [16, 64, 256]
+    stats = optimizer.grid_measure_rmis(ds, pairs, bfs)
+    assert len(fetches) == 1
+    assert set(stats) == {(m, b) for m in pairs for b in bfs}
