@@ -52,6 +52,104 @@ def gen_books_like(n: int, seed: int = 42):
     return keys
 
 
+def measure_search(res, queries, iters):
+    """Exact-search throughput (queries/s) with CHAINED batches.
+
+    block_until_ready is unreliable over the tunneled device, so each
+    batch derives from the previous result (perturb xor — a few
+    elementwise ops, ~us against ~100ms batches) and one scalar
+    transfer at the end fences the chain."""
+    import jax
+    import jax.numpy as jnp
+    from rmi_tpu.lookup import search
+
+    dt_q = queries.dtype
+    perturb = jax.jit(
+        lambda q, i: q ^ (i & 1023).astype(dt_q) if dt_q != jnp.float64
+        else q + (i & 3).astype(jnp.float64))
+    idx = search(res, queries)
+    _ = int(jnp.max(idx))               # warm up compile + sync
+    q = queries
+    t0 = time.time()
+    for i in range(iters):
+        idx = search(res, q)
+        q = perturb(queries, idx)
+    _ = int(jnp.max(idx))               # forces the whole chain
+    dt = (time.time() - t0) / iters
+    return queries.shape[0] / dt
+
+
+def bench_families(keys, n2, nq, iters):
+    """Per-family build+serve table: every top family (scalar, radix,
+    table, histogram) and leaf family (float, table), plus f64 keys —
+    the serving-breadth audit behind RESULTS.md."""
+    import jax
+    import jax.numpy as jnp
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu.keys import KeyType
+    from rmi_tpu.lookup import search, lookup
+    from rmi_tpu import lookup_fast
+    from rmi_tpu.train.api import train
+
+    keys2 = keys[:n2]
+    ds2 = RMIDataset(keys=keys2, key_type=KeyType.U64)
+    keys_f = (keys2.astype(jnp.float64) * (1.0 / 512.0))
+    ds_f = RMIDataset(keys=keys_f, key_type=KeyType.F64)
+
+    qkey = jax.random.PRNGKey(11)
+    q_u = jax.random.randint(qkey, (nq,), 0, np.iinfo(np.int64).max,
+                             dtype=jnp.int64).astype(jnp.uint64) << \
+        jnp.uint64(1)
+    q_f = q_u.astype(jnp.float64) * (2.0 ** -50)
+
+    configs = [
+        ("cubic,linear", 262144, ds2, q_u),
+        ("linear,linear", 4096, ds2, q_u),
+        ("linear_spline,linear", 65536, ds2, q_u),
+        ("robust_linear,cubic", 65536, ds2, q_u),
+        ("radix,linear", 1024, ds2, q_u),
+        ("bradix,linear", 1024, ds2, q_u),
+        ("radix18,linear", 65536, ds2, q_u),
+        ("radix22,cubic", 65536, ds2, q_u),
+        ("histogram,linear", 4096, ds2, q_u),
+        ("loglinear,linear", 16384, ds2, q_u),
+        ("normal,linear", 4096, ds2, q_u),
+        ("lognormal,linear", 4096, ds2, q_u),
+        ("cubic,loglinear", 65536, ds2, q_u),
+        ("cubic,normal", 65536, ds2, q_u),
+        ("cubic,radix8", 4096, ds2, q_u),
+        ("cubic,linear f64", 262144, ds_f, q_f),
+    ]
+    table = {}
+    for name, ebr, ds_, q_ in configs:
+        espec = name.split(" ")[0]
+        label = name.replace(" ", "_") + f"_{ebr}"
+        try:
+            train(ds_, espec, ebr)
+            t0 = time.time()
+            r0 = train(ds_, espec, ebr)
+            ewarm = time.time() - t0
+            rate = measure_search(r0, q_, iters)
+            # spot-verify exactness on a query sample
+            samp = q_[:65536]
+            got = np.asarray(search(r0, samp))
+            want = np.asarray(
+                jnp.searchsorted(ds_.keys, samp, side="left"))
+            plan = lookup_fast.get_plan(r0)
+            table[label] = {
+                "serve_mps": round(rate / 1e6, 2),
+                "plan": plan.kind,
+                "build_s": round(ewarm, 3),
+                "max_err": int(r0.model_max_error),
+                "exact_mismatches": int((got != want).sum()),
+                "eval_mode": r0.eval_mode,
+            }
+        except Exception as e:  # noqa: BLE001 — record and continue
+            table[label] = {"error": f"{type(e).__name__}: {str(e)[:90]}"}
+        log(f"family {label}: {table[label]}")
+    return table
+
+
 def run(n, t_start):
     import jax
     import jax.numpy as jnp
@@ -123,18 +221,7 @@ def run(n, t_start):
         queries, _ = shard_queries(queries, mesh)
         log(f"serving sharded over {ndev} devices")
 
-    perturb = jax.jit(
-        lambda q, i: q ^ (i.astype(jnp.uint64) & jnp.uint64(1023)))
-    idx = search(serve_res, queries)
-    _ = int(jnp.max(idx))               # warm up compile + sync
-    q = queries
-    t0 = time.time()
-    for i in range(iters):
-        idx = search(serve_res, q)
-        q = perturb(queries, idx)
-    _ = int(jnp.max(idx))               # forces the whole chain
-    dt = (time.time() - t0) / iters
-    total_rate = nq / dt
+    total_rate = measure_search(serve_res, queries, iters)
     rate = total_rate / (ndev if use_shard else 1)
     log(f"search: {dt*1e3:.2f} ms / {nq} queries -> "
         f"{total_rate/1e6:.1f}M/s total, {rate/1e6:.1f}M/s/chip "

@@ -17,6 +17,7 @@ from __future__ import annotations
 import enum
 import sys
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -143,6 +144,27 @@ def as_float(keys):
     Lossy above 2^53 for u64 keys, matching the reference (`*x as f64`).
     """
     return keys.astype(jnp.float64)
+
+
+def ordered_u64(keys, key_type: KeyType):
+    """Order-preserving u64 image of a key array.
+
+    Integers are their u64 view.  f64 keys use the IEEE total-order
+    bit trick (sign-flip for positives, bit-complement for negatives)
+    so u64 lane compares implement f64 lower_bound — this is what lets
+    the packed u32-pair serving plan (lookup_fast) cover float keys
+    with the same single-gather rows as integer keys.  -0.0 is
+    normalized to +0.0 first (IEEE: they compare equal); NaN queries
+    map to 0, matching std::lower_bound's first-element result when
+    every comparison is false.
+    """
+    if not key_type.is_float:
+        return keys.astype(jnp.uint64)
+    x = keys.astype(jnp.float64) + 0.0          # -0.0 -> +0.0
+    b = jax.lax.bitcast_convert_type(x, jnp.uint64)
+    neg = (b >> jnp.uint64(63)) == jnp.uint64(1)
+    mapped = jnp.where(neg, ~b, b | (jnp.uint64(1) << jnp.uint64(63)))
+    return jnp.where(jnp.isnan(x), jnp.uint64(0), mapped)
 
 
 def as_int(keys):

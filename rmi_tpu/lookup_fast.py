@@ -77,10 +77,12 @@ _FLOAT_LEAVES = ("linear", "robust_linear", "linear_spline", "cubic",
 
 
 def supports_fast_path(rmi) -> bool:
+    """Every trained RMI with errors serves through the row-resolve
+    paths: monotone tops take the leaf-agnostic packed plan (any leaf
+    family); the rest take the hierarchical plan with fused packed-row
+    eval for float leaves or a generic eval+resolve for table leaves."""
     return (rmi.leaf_errors is not None and rmi.keys is not None
-            and rmi.cache_fix is None
-            and rmi.top_type in _SCALAR_TOPS
-            and rmi.leaf_type in _FLOAT_LEAVES)
+            and rmi.cache_fix is None)
 
 
 def _pack_leaf_rows(rmi) -> jax.Array:
@@ -173,12 +175,19 @@ _PACKED_MAX_LANES = 128
 # outside the keys' common prefix.  The packed search therefore ROUTES
 # with domain-clipped queries and COUNTS with the raw ones (out-of-
 # range queries resolve correctly through the boundary leaf's window).
+# Table tops are monotone too: radix8-28 hint tables are searchsorted
+# constructions over non-decreasing targets (radix.rs:94-113 — the
+# trailing fill value `size` only clamps UP), and the histogram is an
+# upper_bound over pivots whose first pivot is keys[0]
+# (histogram.rs:31, 57-61), so domain-clipped queries never take its
+# underflow wrap.
 _MONOTONE_TOPS = ("linear", "robust_linear", "linear_spline", "cubic",
-                  "radix", "bradix")
+                  "radix", "bradix", "radix8", "radix18", "radix22",
+                  "radix26", "radix28", "histogram")
 
 
-@functools.partial(jax.jit, static_argnames=("S",))
-def _pack_u32_rows(starts, next_idx, keys, *, S: int):
+@functools.partial(jax.jit, static_argnames=("S", "key_type"))
+def _pack_u32_rows(starts, next_idx, keys, *, S: int, key_type):
     """[B, 1+2S] u32 rows: L1 base | S sample HI words | S sample LO
     words, samples = keys[64*(base+i)].
 
@@ -188,12 +197,14 @@ def _pack_u32_rows(starts, next_idx, keys, *, S: int):
     routed to the leaf: for a top MONOTONE on the key domain, keys with
     midx < j all precede q and keys with midx > j all follow it, so
     lb(q) in [start_j, next_idx_j] — no error term involved.
+    f64 keys enter through their order-preserving u64 image
+    (keymod.ordered_u64), so the lane compares stay integer.
     """
     n = keys.shape[0]
     base = starts.astype(jnp.int64) // 64
     idx = base[:, None] * 64 + jnp.arange(S, dtype=jnp.int64)[None, :] * 64
     valid = idx < n
-    ki = keymod.as_int(keys)
+    ki = keymod.ordered_u64(keys, key_type)
     samples = jnp.where(valid, ki[jnp.clip(idx, 0, n - 1)],
                         jnp.uint64(0xFFFFFFFFFFFFFFFF))
     hi = (samples >> jnp.uint64(32)).astype(jnp.uint32)
@@ -211,12 +222,12 @@ def _fused_pair_rows_jit(hi_padded, lo_padded, *, nrows: int):
     return jnp.concatenate([halves(hi_padded), halves(lo_padded)], axis=1)
 
 
-def _fused_pair_rows(keys: jax.Array) -> jax.Array:
-    """[n] sorted u64 -> [ceil(n/64), 256] u32 rows: lanes 0..128 the
-    HI words of keys[64i:64i+128], lanes 128..256 the LO words — the
-    level-0 view fetchable with ONE u32 gather."""
+def _fused_pair_rows(keys: jax.Array, key_type) -> jax.Array:
+    """[n] sorted keys -> [ceil(n/64), 256] u32 rows: lanes 0..128 the
+    HI words of keys[64i:64i+128] (ordered-u64 image), lanes 128..256
+    the LO words — the level-0 view fetchable with ONE u32 gather."""
     m = keys.shape[0]
-    ki = keymod.as_int(keys)
+    ki = keymod.ordered_u64(keys, key_type)
     nrows = max(1, -(-m // STRIDE))
     padded_len = nrows * STRIDE + WIDTH
     pad = jnp.full((padded_len - m,), jnp.uint64(0xFFFFFFFFFFFFFFFF),
@@ -298,6 +309,10 @@ def resolve(plan_levels, queries, guess, err, *, K: int, n: int,
     return lb
 
 
+_resolve_jit = functools.partial(
+    jax.jit, static_argnames=("K", "n", "level_lens"))(resolve)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("top_type", "B", "n", "key_type", "S"))
@@ -325,7 +340,7 @@ def _fast_search_packed(queries, top_params, rows_u32, off, s, level0,
                                   B - 1)
     rows = rows_u32[midx]                           # gather #1 (u32!)
     base = rows[:, 0].astype(jnp.int64)
-    qi = keymod.as_int(queries)
+    qi = keymod.ordered_u64(queries, key_type)
     qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)[:, None]
     qlo = qi.astype(jnp.uint32)[:, None]
     shi = rows[:, 1:1 + S]
@@ -408,7 +423,11 @@ def _try_packed_plan(rmi, max_err):
     import os
     if os.environ.get("RMI_SERVE_PLAN") == "hier":
         return None
-    if rmi.top_type not in _MONOTONE_TOPS or rmi.key_type.is_float:
+    if rmi.top_type not in _MONOTONE_TOPS:
+        return None
+    if rmi.key_type.is_float and get_model(rmi.top_type).output_int:
+        # int-routing tops (radix family, histogram) bit-slice integer
+        # keys; float keys route through float-predicting tops only
         return None
     S = packed_sample_lanes(rmi)
     if 1 + 2 * S > _PACKED_MAX_LANES:
@@ -419,9 +438,10 @@ def _try_packed_plan(rmi, max_err):
     plan.max_err = max_err
     plan.kind = "packed"
     plan.S = S
-    plan.level0_pair = _fused_pair_rows(rmi.keys)
+    plan.level0_pair = _fused_pair_rows(rmi.keys, rmi.key_type)
     plan.rows_u32 = _pack_u32_rows(
-        jnp.asarray(starts), jnp.asarray(next_idx), rmi.keys, S=S)
+        jnp.asarray(starts), jnp.asarray(next_idx), rmi.keys, S=S,
+        key_type=rmi.key_type)
     return plan
 
 
@@ -433,7 +453,10 @@ def get_plan(rmi) -> SearchPlan:
         plan = _try_packed_plan(rmi, max_err)
         if plan is None:
             plan = SearchPlan(rmi.keys, max_err)
-            if getattr(rmi, "eval_mode", "xla") == "df64":
+            if rmi.leaf_type not in _FLOAT_LEAVES:
+                # table leaves: generic eval + resolve (no packable row)
+                plan.packed_rows = None
+            elif getattr(rmi, "eval_mode", "xla") == "df64":
                 plan.packed_rows = _pack_leaf_rows_df64(
                     rmi.device_leaf_params["w"], rmi.leaf_errors)
             else:
@@ -466,6 +489,13 @@ def fast_search(rmi, queries):
                 rmi.keys[0], rmi.keys[-1],
                 top_type=rmi.top_type, B=rmi.branching_factor,
                 n=rmi.num_rmi_rows, key_type=rmi.key_type, S=plan.S)
+        if plan.packed_rows is None:
+            # generic eval (covers int-output table leaves) + resolve
+            from rmi_tpu.lookup import _eval
+            guess, err, _ = _eval(rmi, q)
+            return _resolve_jit(
+                tuple(plan.levels), q, guess, err, K=plan.K,
+                n=rmi.num_rmi_rows, level_lens=tuple(plan.level_lens))
         if getattr(rmi, "eval_mode", "xla") == "df64":
             return _fast_search_df64(
                 q, rmi.device_top_params, plan.packed_rows,

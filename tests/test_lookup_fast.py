@@ -89,3 +89,55 @@ def test_overlapped_rows_shape():
                                   np.arange(128))
     # pad lanes are the max key
     assert int(rows[3, -1]) == np.iinfo(np.uint64).max
+
+@pytest.mark.parametrize("spec,B,kind", [
+    ("radix18,linear", 128, "packed"),    # table top, small spans
+    ("radix8,linear", 64, None),          # 256-slot table top
+    ("histogram,linear", 64, "packed"),   # pivot top
+    ("cubic,radix8", 64, None),           # int-output TABLE leaf
+    ("radix22,cubic", 128, None),
+])
+def test_fast_search_table_tops_and_leaves(rng, spec, B, kind):
+    """Serving breadth: table tops route through the packed plan
+    (monotone searchsorted constructions) and table LEAVES through the
+    generic eval + hierarchical resolve."""
+    keys = np.sort(rng.integers(0, 2**45, size=20000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, spec, B)
+    assert supports_fast_path(res)
+    plan = get_plan(res)
+    if kind is not None:
+        assert plan.kind == kind
+    q = np.concatenate([keys[::3],
+                        rng.integers(0, 2**45, 7000, dtype=np.uint64),
+                        [np.uint64(0), keys[0], keys[-1],
+                         np.uint64(2**45 + 5), np.uint64(2**64 - 1)]])
+    idx = np.asarray(fast_search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+
+def test_fast_search_f64_packed(rng):
+    """f64 keys take the 2-gather packed plan through the IEEE
+    total-order u64 image (keymod.ordered_u64), including negatives."""
+    keys = np.sort(np.concatenate([
+        rng.uniform(-1e12, 1e15, size=8000),
+        rng.uniform(0, 1.0, size=2000)]))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "cubic,linear", 64)
+    plan = get_plan(res)
+    assert plan.kind == "packed"
+    q = np.concatenate([keys[::5], rng.uniform(-1.1e12, 1.1e15, size=4000),
+                        [-np.inf, np.inf, 0.0, -0.0]])
+    idx = np.asarray(fast_search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+
+def test_ordered_u64_is_monotone(rng):
+    from rmi_tpu.keys import KeyType, ordered_u64
+    vals = np.sort(np.concatenate([
+        rng.uniform(-1e300, 1e300, 3000), [0.0, -0.0, np.inf, -np.inf]]))
+    mapped = np.asarray(ordered_u64(jnp.asarray(vals), KeyType.F64))
+    assert (np.diff(mapped.astype(np.uint64)) >= 0).all()
+    # strictly increasing wherever values differ
+    diff_vals = np.diff(vals) > 0
+    assert (np.diff(mapped)[diff_vals] > 0).all()
