@@ -593,9 +593,11 @@ def aug_centered_moments_expanded(spans: Spans, x, y, mean_x, mean_y,
 
 def aug_centered_moments_pallas(spans: Spans, x, y, mean_x, mean_y, *,
                                 span: int, weights=None):
-    """(m2, c, ovf): centered moments with per-key means expanded by
-    the Pallas window-select kernel (exact f32-pair means — no cumsum
-    drift) and blocked range sums (no emulated-f64 cumsums).
+    """(m2, c, ovf): centered moments via the fused Pallas moments
+    kernel (ops/select_kernel.window_moments: per-key means selected
+    from the leaf window AND the df64 centered products computed
+    in-kernel — no n-scale emulated-f64 elementwise pass) and blocked
+    range sums (no emulated-f64 cumsums).
 
     Centering on the f32-pair value c' instead of the f64 mean m moves
     the moments by ~cnt * (c'-m)^2 with |c'-m| <= 2^-48|m| —
@@ -604,16 +606,10 @@ def aug_centered_moments_pallas(spans: Spans, x, y, mean_x, mean_y, *,
     ``weights`` in {0,1} drop items (loglinear's non-finite logs,
     linear.rs:63-67).
     """
-    from rmi_tpu.ops.select_kernel import window_select
-    (mx_k, my_k), ovf = window_select(spans.t, [mean_x, mean_y],
-                                      B=spans.B, span=span)
-    dx = x - mx_k
-    dy = y - my_k
-    dxx = dx * dx
-    dxy = dx * dy
-    if weights is not None:
-        dxx = dxx * weights
-        dxy = dxy * weights
+    from rmi_tpu.ops.select_kernel import window_moments
+    dxx, dxy, ovf = window_moments(
+        spans.t, mean_x, mean_y, x, y, B=spans.B, span=span,
+        weights=weights, xx_only=x is y)
     px = blocked_partials(dxx)
     py = blocked_partials(dxy)
     i_m2 = range_sum_blocked(dxx, spans.starts, spans.ends, px)

@@ -103,3 +103,60 @@ def test_blocked_scans_force_blocked_path(rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(seg.blocked_cummin(vj, reverse=True)),
         np.asarray(jax.lax.cummin(vj[::-1])[::-1]))
+
+
+def test_window_moments_oracle(rng):
+    """Fused moments kernel (interpret mode on CPU) vs the f64 oracle:
+    unweighted, weighted {0,1}, and xx_only (normal-variance) modes,
+    plus the window-overflow flag on an adversarial span."""
+    from rmi_tpu.ops.select_kernel import window_moments
+
+    n, B = 6_000, 64
+    t = np.sort(rng.integers(0, B, n)).astype(np.int32)
+    x = np.sort(rng.standard_normal(n) * 100.0)
+    y = rng.standard_normal(n) * 10.0
+    mx = rng.standard_normal(B)
+    my = rng.standard_normal(B)
+    w = (rng.random(n) < 0.8).astype(np.float64)
+
+    tj, xj, yj = jnp.asarray(t), jnp.asarray(x), jnp.asarray(y)
+    mxj, myj = jnp.asarray(mx), jnp.asarray(my)
+
+    # f32-pair value actually selected by the kernel
+    def pair_val(m):
+        hi = m.astype(np.float32)
+        lo = (m - hi.astype(np.float64)).astype(np.float32)
+        return hi.astype(np.float64) + lo.astype(np.float64)
+
+    dx = x - pair_val(mx)[t]
+    dy = y - pair_val(my)[t]
+
+    dxx, dxy, ovf = window_moments(tj, mxj, myj, xj, yj, B=B, span=64)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(dxx), dx * dx,
+                               rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dxy), dx * dy,
+                               rtol=1e-12, atol=1e-10)
+
+    dxxw, dxyw, _ = window_moments(tj, mxj, myj, xj, yj, B=B, span=64,
+                                   weights=jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(dxxw), dx * dx * w,
+                               rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dxyw), dx * dy * w,
+                               rtol=1e-12, atol=1e-10)
+
+    dxx2, dxy2, _ = window_moments(tj, mxj, mxj, xj, xj, B=B, span=64,
+                                   xx_only=True)
+    np.testing.assert_allclose(np.asarray(dxx2), dx * dx,
+                               rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dxy2), dx * dx,
+                               rtol=1e-12, atol=1e-10)
+
+    # adversarial: all leaves inside one 2048-key block -> span 64 of
+    # B=4096 cannot cover; the overflow flag must trip
+    tb = np.sort(rng.integers(0, 4096, 2048)).astype(np.int32)
+    xb = np.sort(rng.standard_normal(2048))
+    _, _, ovf_bad = window_moments(
+        jnp.asarray(tb), jnp.zeros(4096), jnp.zeros(4096),
+        jnp.asarray(xb), jnp.asarray(xb), B=4096, span=64)
+    assert int(ovf_bad) == 1
