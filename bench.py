@@ -79,6 +79,26 @@ def measure_search(res, queries, iters):
     return queries.shape[0] / dt
 
 
+def measure_perturb_overhead(queries, iters):
+    """Cost of the perturb xor chain ALONE (same chaining, no search):
+    bounds the timing bias the dependent op adds inside
+    measure_search's loop.  Logged once per bench run."""
+    import jax
+    import jax.numpy as jnp
+
+    dt_q = queries.dtype
+    perturb = jax.jit(
+        lambda q, i: q ^ (i & 1023).astype(dt_q) if dt_q != jnp.float64
+        else q + (i & 3).astype(jnp.float64))
+    q = perturb(queries, queries[:1].astype(queries.dtype))
+    _ = int(jnp.max(q))
+    t0 = time.time()
+    for i in range(iters):
+        q = perturb(q, q[:1])
+    _ = int(jnp.max(q))
+    return (time.time() - t0) / iters
+
+
 def bench_families(keys, n2, nq, iters):
     """Per-family build+serve table: every top family (scalar, radix,
     table, histogram) and leaf family (float, table), plus f64 keys —
@@ -223,7 +243,11 @@ def run(n, t_start):
 
     total_rate = measure_search(serve_res, queries, iters)
     rate = total_rate / (ndev if use_shard else 1)
-    log(f"search: {dt*1e3:.2f} ms / {nq} queries -> "
+    batch_ms = queries.shape[0] / total_rate * 1e3
+    ovh_ms = measure_perturb_overhead(queries, iters) * 1e3
+    log(f"perturb-chain overhead: {ovh_ms:.3f} ms/iter "
+        f"({100.0 * ovh_ms / batch_ms:.2f}% of the timed batch)")
+    log(f"search: {batch_ms:.2f} ms / {queries.shape[0]} queries -> "
         f"{total_rate/1e6:.1f}M/s total, {rate/1e6:.1f}M/s/chip "
         f"({ndev if use_shard else 1} chip(s))")
 
@@ -272,6 +296,11 @@ def run(n, t_start):
             except Exception as e:  # noqa: BLE001
                 extras[f"{espec}_{ebr}"] = {"error": str(e)[:80]}
         out["extras"] = extras
+
+    # per-family build+serve audit (serving-breadth table in RESULTS.md)
+    if os.environ.get("RMI_BENCH_FAMILIES") == "1":
+        out["families"] = bench_families(keys, min(n, 25_000_000),
+                                         min(nq, 1 << 21), iters)
 
     print(json.dumps(out), flush=True)
 

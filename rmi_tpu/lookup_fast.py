@@ -165,9 +165,10 @@ _PACKED_MAX_LANES = 128
 # tops provably MONOTONE over the full query domain — the correctness
 # condition of the packed plan (lb(q) in [start_j, next_idx_j] for
 # every q routed to leaf j; see _fast_search_packed).  loglinear and
-# normal/lognormal tops are excluded: exp1(v) = (1+v/64)^64 turns
-# around below v = -64 (even power), making extreme-tail predictions
-# non-monotone.
+# normal/lognormal tops are not unconditionally monotone — exp1(v) =
+# (1+v/64)^64 turns around below v = -64 (even power) — but become so
+# when the FITTED parameters keep every domain-clipped query inside
+# the monotone region; _scalar_top_monotone checks that per plan.
 # Monotonicity holds on the KEY DOMAIN [kmin, kmax]: linear-family
 # tops are globally monotone (beta >= 0 on sorted data); the cubic is
 # Fritsch-Carlson-clamped ON ITS INTERVAL (cubic_spline.rs:67-72) but
@@ -184,6 +185,50 @@ _PACKED_MAX_LANES = 128
 _MONOTONE_TOPS = ("linear", "robust_linear", "linear_spline", "cubic",
                   "radix", "bradix", "radix8", "radix18", "radix22",
                   "radix26", "radix28", "histogram")
+
+# exp1's monotone region is v >= -64; phi(u) = 1/(1+exp1(-1.65451 u))
+# feeds it w = -1.65451 u, so u must stay <= 64/1.65451 ~ 38.68.
+# Margins absorb f64 rounding in the host-side endpoint evaluation.
+_EXP1_V_MIN = -63.9
+_PHI_U_MAX = 38.6
+
+
+def _scalar_top_monotone(rmi) -> bool:
+    """Host check: is this fitted loglinear/normal/lognormal top
+    monotone non-decreasing over the domain-clipped query range?
+
+    Every FP step in these evals is weakly monotone once inside the
+    region (fma with beta >= 0; squaring chains on non-negative bases;
+    multiply/divide by positive values), so endpoint conditions on the
+    fitted parameters are sufficient:
+      * loglinear (exp1(beta x + alpha)): beta >= 0 and the v at the
+        domain's low end >= -64 (v is increasing, so the low end is
+        the minimum);
+      * normal/lognormal (phi((x-mean)/stdev) * scale): stdev > 0,
+        scale >= 0 (it is a max FixDups target, but NaN/-inf empties
+        exist), and u at the domain's high end <= 64/1.65451 so
+        exp1's argument never leaves the monotone region.
+    """
+    w = np.asarray(rmi.device_top_params["w"], dtype=np.float64)[0]
+    kminf = float(np.asarray(keymod.as_float(rmi.keys[0])))
+    kmaxf = float(np.asarray(keymod.as_float(rmi.keys[-1])))
+    if rmi.top_type == "loglinear":
+        alpha, beta = w[0], w[1]
+        if not (np.isfinite(alpha) and np.isfinite(beta) and beta >= 0):
+            return False
+        x_lo = (kminf - rmi.norm_offset) * rmi.norm_scale
+        return bool(beta * x_lo + alpha >= _EXP1_V_MIN)
+    # normal / lognormal
+    mean, stdev, scale = w[0], w[1], w[2]
+    if not (np.isfinite(mean) and np.isfinite(stdev) and stdev > 0.0
+            and np.isfinite(scale) and scale >= 0.0):
+        return False
+    if rmi.top_type == "lognormal":
+        # raw-domain input max(0, ln x) — itself non-decreasing in q
+        x_hi = max(0.0, np.log(kmaxf)) if kmaxf > 0 else 0.0
+    else:
+        x_hi = (kmaxf - rmi.norm_offset) * rmi.norm_scale
+    return bool((x_hi - mean) / stdev <= _PHI_U_MAX)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "key_type"))
@@ -424,7 +469,10 @@ def _try_packed_plan(rmi, max_err):
     if os.environ.get("RMI_SERVE_PLAN") == "hier":
         return None
     if rmi.top_type not in _MONOTONE_TOPS:
-        return None
+        if rmi.top_type not in ("loglinear", "normal", "lognormal"):
+            return None
+        if not _scalar_top_monotone(rmi):
+            return None
     if rmi.key_type.is_float and get_model(rmi.top_type).output_int:
         # int-routing tops (radix family, histogram) bit-slice integer
         # keys; float keys route through float-predicting tops only

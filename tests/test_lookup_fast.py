@@ -141,3 +141,57 @@ def test_ordered_u64_is_monotone(rng):
     # strictly increasing wherever values differ
     diff_vals = np.diff(vals) > 0
     assert (np.diff(mapped)[diff_vals] > 0).all()
+
+
+@pytest.mark.parametrize("spec,B", [
+    ("loglinear,linear", 64),
+    ("normal,linear", 64),
+    ("lognormal,linear", 64),
+])
+def test_scalar_transcendental_tops_packed(rng, spec, B):
+    """Fitted loglinear/normal/lognormal tops that pass the host-side
+    monotonicity check take the packed 2-gather plan and stay exact,
+    including out-of-range and boundary queries."""
+    gaps = rng.exponential(size=20000)
+    csum = np.cumsum(gaps)
+    keys = (csum * (2.0 ** 50 / csum[-1])).astype(np.uint64)
+    keys = np.maximum(keys, np.uint64(1))      # lognormal: ln(x) finite
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, spec, B)
+    plan = get_plan(res)
+    assert plan.kind == "packed", (spec, plan.kind)
+    q = np.concatenate([keys[::3],
+                        rng.integers(1, 2**51, 7000, dtype=np.uint64),
+                        [np.uint64(0), keys[0], keys[-1],
+                         np.uint64(2**52 + 5)]])
+    idx = np.asarray(fast_search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+
+def test_scalar_top_monotone_guard(rng):
+    """Parameter patterns outside the provably monotone region must
+    fall back to the hierarchical plan."""
+    import jax
+    from rmi_tpu import lookup_fast as lf
+
+    keys = np.sort(rng.integers(1, 2**45, size=9000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "normal,linear", 32)
+    assert lf._scalar_top_monotone(res)
+
+    # zero stdev -> division blows up -> not provably monotone
+    w = np.asarray(res.device_top_params["w"], dtype=np.float64).copy()
+    w[0, 1] = 0.0
+    res.device_top_params = {"w": jnp.asarray(w)}
+    res._search_plan = None
+    assert not lf._scalar_top_monotone(res)
+    assert get_plan(res).kind == "hier"
+
+    # loglinear with a negative slope is decreasing
+    res2 = train(ds, "loglinear,linear", 32)
+    w2 = np.asarray(res2.device_top_params["w"], dtype=np.float64).copy()
+    w2[0, 1] = -abs(w2[0, 1]) - 1.0
+    res2.device_top_params = {"w": jnp.asarray(w2)}
+    res2._search_plan = None
+    assert not lf._scalar_top_monotone(res2)
+    assert get_plan(res2).kind == "hier"
