@@ -143,6 +143,20 @@ _SCAN_BLK = 512
 _SCAN_DIRECT_MAX = 1 << 16   # below this, XLA's native cum* is fine
 
 
+def _scan_kernel_enabled() -> bool:
+    """Single-pass Pallas scan (ops/scan_kernel.py) on TPU backends;
+    the XLA blocked form on CPU (tests compare the two explicitly).
+    RMI_SCAN_KERNEL=0 disables; =1 forces (interpret mode on CPU).
+    Always bit-exact either way — max/min never round."""
+    import os
+    flag = os.environ.get("RMI_SCAN_KERNEL", "").lower()
+    if flag in ("0", "off", "false"):
+        return False
+    if flag in ("1", "on", "true"):
+        return True
+    return jax.default_backend() != "cpu"
+
+
 def _blocked_scan(v: jax.Array, op, fill, reverse: bool) -> jax.Array:
     """Inclusive running ``op`` (max/min) over [n], two-level blocked.
 
@@ -157,6 +171,10 @@ def _blocked_scan(v: jax.Array, op, fill, reverse: bool) -> jax.Array:
     if n <= _SCAN_DIRECT_MAX:
         scan = jax.lax.cummax if op is jnp.maximum else jax.lax.cummin
         return scan(v[::-1])[::-1] if reverse else scan(v)
+    if v.dtype == jnp.int32 and _scan_kernel_enabled():
+        from rmi_tpu.ops.scan_kernel import scan_i32
+        return scan_i32(v, is_max=op is jnp.maximum, fill=int(fill),
+                        reverse=reverse)
     if reverse:
         return _blocked_scan(v[::-1], op, fill, False)[::-1]
     fill_v = jnp.asarray(fill, v.dtype)

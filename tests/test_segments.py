@@ -105,6 +105,42 @@ def test_blocked_scans_force_blocked_path(rng, monkeypatch):
         np.asarray(jax.lax.cummin(vj[::-1])[::-1]))
 
 
+def test_scan_kernel_matches_lax(rng, monkeypatch):
+    """Single-pass Pallas scan (interpret mode on CPU) vs lax.cum*:
+    all four op/direction variants, sizes spanning <1 block, unaligned,
+    and multi-block (grid-carry) cases."""
+    monkeypatch.setenv("RMI_SCAN_KERNEL", "1")
+    from rmi_tpu.ops.scan_kernel import scan_i32
+    import jax
+    imin, imax = np.iinfo(np.int32).min, np.iinfo(np.int32).max
+    for n in (1, 130, 33_000, 70_000):
+        v = rng.integers(-2**30, 2**30, n).astype(np.int32)
+        vj = jnp.asarray(v)
+        np.testing.assert_array_equal(
+            np.asarray(scan_i32(vj, is_max=True, fill=imin)),
+            np.asarray(jax.lax.cummax(vj)))
+        np.testing.assert_array_equal(
+            np.asarray(scan_i32(vj, is_max=False, fill=imax)),
+            np.asarray(jax.lax.cummin(vj)))
+        np.testing.assert_array_equal(
+            np.asarray(scan_i32(vj, is_max=True, fill=imin,
+                                reverse=True)),
+            np.asarray(jax.lax.cummax(vj[::-1])[::-1]))
+        np.testing.assert_array_equal(
+            np.asarray(scan_i32(vj, is_max=False, fill=imax,
+                                reverse=True)),
+            np.asarray(jax.lax.cummin(vj[::-1])[::-1]))
+    # the blocked_cum* dispatchers route here when forced
+    v = rng.integers(-2**30, 2**30, 200_000).astype(np.int32)
+    vj = jnp.asarray(v)
+    np.testing.assert_array_equal(
+        np.asarray(seg.blocked_cummax(vj)),
+        np.asarray(jax.lax.cummax(vj)))
+    np.testing.assert_array_equal(
+        np.asarray(seg.blocked_cummin(vj, reverse=True)),
+        np.asarray(jax.lax.cummin(vj[::-1])[::-1]))
+
+
 def test_window_moments_oracle(rng):
     """Fused moments kernel (interpret mode on CPU) vs the f64 oracle:
     unweighted, weighted {0,1}, and xx_only (normal-variance) modes,
