@@ -140,6 +140,14 @@ def bench_families(keys, n2, nq, iters):
         ("cubic,radix8", 4096, ds2, q_u),
         ("cubic,linear f64", 262144, ds_f, q_f),
     ]
+    # RMI_BENCH_FAMILIES_ONLY: ';'-separated substrings selecting a
+    # subset of the configs (labels contain commas)
+    only = os.environ.get("RMI_BENCH_FAMILIES_ONLY")
+    if only:
+        pats = [p.strip() for p in only.split(";") if p.strip()]
+        configs = [c for c in configs
+                   if any(p in c[0].replace(" ", "_") + f"_{c[1]}"
+                          for p in pats)]
     table = {}
     for name, ebr, ds_, q_ in configs:
         espec = name.split(" ")[0]
@@ -299,7 +307,8 @@ def run(n, t_start):
 
     # per-family build+serve audit (serving-breadth table in RESULTS.md)
     if os.environ.get("RMI_BENCH_FAMILIES") == "1":
-        out["families"] = bench_families(keys, min(n, 25_000_000),
+        fam_n = int(os.environ.get("RMI_BENCH_FAMILIES_N", 25_000_000))
+        out["families"] = bench_families(keys, min(n, fam_n),
                                          min(nq, 1 << 21), iters)
 
     print(json.dumps(out), flush=True)

@@ -23,7 +23,8 @@ from rmi_tpu import config as _config  # noqa: F401  (enables x64 on import)
 from rmi_tpu.keys import KeyType
 from rmi_tpu.data import RMIDataset, load_data, write_sosd_file
 from rmi_tpu.train.api import train, train_for_size, train_bounded, TrainedRMI
-from rmi_tpu.lookup import lookup, search, lookup_and_search
+from rmi_tpu.lookup import (lookup, search, search_sorted,
+                            lookup_and_search)
 from rmi_tpu.optimizer import find_pareto_efficient_configs, RMIStatistics
 from rmi_tpu.serialize import rmi_size, output_rmi, save_artifact, load_artifact
 
@@ -40,6 +41,7 @@ __all__ = [
     "TrainedRMI",
     "lookup",
     "search",
+    "search_sorted",
     "lookup_and_search",
     "find_pareto_efficient_configs",
     "RMIStatistics",

@@ -239,6 +239,26 @@ def search(rmi, queries, keys=None):
                                n=rmi.num_rmi_rows, iters=_err_iters(rmi))
 
 
+def search_sorted(rmi, queries):
+    """Exact lower bounds for a NON-DECREASING query batch — the bulk
+    shape (merge joins, range scans, sorted probe streams).
+
+    Sorted batches make both serving fetch patterns contiguous, so the
+    gather-free window kernel (ops/sorted_serve_kernel.py) replaces the
+    packed plan's 2 dynamic row gathers per query — several times past
+    the gather-rate ceiling for dense batches.  Falls back to
+    ``search`` (correct for any order) when the kernel's window tiers
+    don't fit.  The reference has no batch API at all (its generated
+    lookup() is scalar, codegen.rs:612-718); this is the TPU-shaped
+    answer to its cache-friendly zipped layout.
+    """
+    queries = jnp.asarray(queries)
+    from rmi_tpu import lookup_fast
+    if rmi.cache_fix is None and lookup_fast.supports_fast_path(rmi):
+        return lookup_fast.fast_search_sorted(rmi, queries)
+    return search(rmi, queries)
+
+
 def lookup_and_search(rmi, queries, keys=None):
     """Fused (guess, err, exact_lower_bound) for benchmarking."""
     g, e = lookup(rmi, queries)

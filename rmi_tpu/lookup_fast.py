@@ -516,6 +516,116 @@ def get_plan(rmi) -> SearchPlan:
     return plan
 
 
+# ---------------------------------------------------------------------------
+# sorted-batch serving (gather-free; ops/sorted_serve_kernel.py)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("top_type", "B", "S",
+                                             "key_type"))
+def _sorted_stats(queries, top_params, rows_u32, off, s, kmin_key,
+                  kmax_key, *, top_type, B, S, key_type):
+    """Routing + window statistics for a sorted batch: per-query leaf
+    ids, per-subgroup first/last stripe bases, and the max windows the
+    kernel would need (host fetches the maxes to pick tiers)."""
+    from rmi_tpu.ops.sorted_serve_kernel import KQ, SUBQ
+    mtop = get_model(top_type)
+    qr = jnp.clip(queries, kmin_key, kmax_key)
+    xraw = keymod.as_float(qr)
+    xn = (xraw - off) * s
+    midx = predict_top_assignment(mtop, top_params, qr, xn, xraw,
+                                  B - 1).astype(jnp.int32)
+    leaf_span = midx[KQ - 1::KQ] - midx[::KQ] + 1
+    base_sf = rows_u32[midx[::SUBQ], 0].astype(jnp.int32)
+    base_sl = rows_u32[midx[SUBQ - 1::SUBQ], 0].astype(jnp.int32)
+    sub_span = base_sl - base_sf + (S + 1)
+    nsub = KQ // SUBQ
+    blk_span = base_sl[nsub - 1::nsub] - base_sf[::nsub] + (S + 1)
+    return (midx, base_sf,
+            jnp.max(leaf_span), jnp.max(sub_span), jnp.max(blk_span))
+
+
+@functools.partial(jax.jit, static_argnames=("B", "nrows0", "W_leaf",
+                                             "W0", "W_sub"))
+def _sorted_offsets(midx, base_sf, *, B, nrows0, W_leaf, W0, W_sub):
+    """Pre-clipped DMA offsets for the chosen window tiers."""
+    from rmi_tpu.ops.sorted_serve_kernel import KQ, SUBQ
+    nsub = KQ // SUBQ
+    leaf_lo = jnp.clip(midx[::KQ], 0, max(B - W_leaf, 0))
+    blk_lo = jnp.clip(base_sf[::nsub] - 1, 0, max(nrows0 - W0, 0))
+    blk_rep = jnp.repeat(blk_lo, nsub)
+    sub_lo = jnp.clip(base_sf - 1, blk_rep, blk_rep + (W0 - W_sub))
+    return (leaf_lo.astype(jnp.int32), blk_lo.astype(jnp.int32),
+            sub_lo.astype(jnp.int32))
+
+
+def _sorted_kernel_search(rmi, plan, queries):
+    """Gather-free exact search for a sorted batch via the packed
+    plan's arrays; returns None when the batch is too sparse for the
+    window tiers (caller falls back to the gather path)."""
+    from rmi_tpu.ops import sorted_serve_kernel as ssk
+    n = plan.n
+    nrows0 = plan.level0_pair.shape[0]
+    B = rmi.branching_factor
+    if (B < ssk.W_LEAF_TIERS[0] or nrows0 < ssk.W0_TIERS[-1]
+            or n >= 2**31 - 64):
+        return None
+    nq = queries.shape[0]
+    pad = (-nq) % ssk.KQ
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[-1:], (pad,))])
+    midx, base_sf, m_leaf, m_sub, m_blk = _sorted_stats(
+        queries, rmi.device_top_params, plan.rows_u32,
+        jnp.float64(rmi.norm_offset), jnp.float64(rmi.norm_scale),
+        rmi.keys[0], rmi.keys[-1], top_type=rmi.top_type, B=B,
+        S=plan.S, key_type=rmi.key_type)
+    m_leaf, m_sub, m_blk = (int(m_leaf), int(m_sub), int(m_blk))
+    W_leaf = next((w for w in ssk.W_LEAF_TIERS if m_leaf <= w <= B),
+                  None)
+    W_sub = next((w for w in ssk.W_SUB_TIERS if m_sub <= w), None)
+    W0 = next((w for w in ssk.W0_TIERS
+               if m_blk <= w and W_sub is not None and w >= W_sub),
+              None)
+    if W_leaf is None or W_sub is None or W0 is None:
+        return None
+    leaf_lo, blk_lo, sub_lo = _sorted_offsets(
+        midx, base_sf, B=B, nrows0=nrows0, W_leaf=W_leaf, W0=W0,
+        W_sub=W_sub)
+    rows_pad = getattr(plan, "rows_pad", None)
+    if rows_pad is None:
+        r = plan.rows_u32
+        rows_pad = jnp.concatenate(
+            [r, jnp.zeros((r.shape[0], 128 - r.shape[1]), r.dtype)],
+            axis=1)
+        plan.rows_pad = rows_pad
+    qi = keymod.ordered_u64(queries, rmi.key_type)
+    qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)
+    qlo = qi.astype(jnp.uint32)
+    lb = ssk.serve_sorted_call(
+        qhi, qlo, midx, leaf_lo, blk_lo, sub_lo, rows_pad,
+        plan.level0_pair, S=plan.S, B=B, nrows0=nrows0, n=n,
+        W_leaf=W_leaf, W0=W0, W_sub=W_sub)
+    return lb[:nq].astype(jnp.int64)
+
+
+def fast_search_sorted(rmi, queries):
+    """Exact lower bounds for a NON-DECREASING query batch.
+
+    Uses the gather-free window kernel when the batch is dense enough
+    for its DMA windows (the usual bulk-lookup shape); falls back to
+    the per-query gather path otherwise.  Callers with unsorted
+    batches: ``jnp.argsort`` + this + inverse scatter — see
+    probes/probe_query_sort.py for when that trade wins.
+    """
+    plan = get_plan(rmi)
+    queries = jnp.asarray(queries)
+    if plan.kind == "packed" and queries.shape[0] >= 1 << 14:
+        out = _sorted_kernel_search(rmi, plan, queries)
+        if out is not None:
+            return out
+    return fast_search(rmi, queries)
+
+
 # Row gathers materialize [chunk, 128] blocks (1KB/query); cap the
 # per-dispatch chunk so transients stay ~2GB even beside a 200M-key
 # plan.  Equal-sized chunks reuse one compilation.

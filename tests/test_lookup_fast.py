@@ -195,3 +195,62 @@ def test_scalar_top_monotone_guard(rng):
     res2._search_plan = None
     assert not lf._scalar_top_monotone(res2)
     assert get_plan(res2).kind == "hier"
+
+
+class TestSortedServe:
+    """Gather-free sorted-batch serving (ops/sorted_serve_kernel.py,
+    interpret mode on CPU): exactness against searchsorted, kernel-path
+    engagement, sparse fallback, f64 keys, and order preservation of
+    the public search_sorted API."""
+
+    def _mkindex(self, rng, n=400_000, spec="cubic,linear", B=1024,
+                 dup=True):
+        keys = np.sort(rng.integers(0, 2**55, size=n, dtype=np.uint64))
+        if dup:
+            keys[1000:1100] = keys[1000]
+            keys = np.sort(keys)
+        ds = RMIDataset.from_numpy(keys)
+        return keys, train(ds, spec, B)
+
+    def test_kernel_exact_u64(self, rng):
+        from rmi_tpu import lookup_fast as lf
+        keys, res = self._mkindex(rng)
+        plan = get_plan(res)
+        assert plan.kind == "packed"
+        nq = 1 << 15
+        q = rng.integers(0, 2**56, size=nq, dtype=np.uint64)
+        q[:8] = 0                       # below range
+        q[-8:] = 2**56 - 1              # above range
+        q = np.sort(q)
+        out = lf._sorted_kernel_search(res, plan, jnp.asarray(q))
+        assert out is not None, "dense sorted batch must take the kernel"
+        np.testing.assert_array_equal(
+            np.asarray(out), np.searchsorted(keys, q, side="left"))
+
+    def test_kernel_exact_f64(self, rng):
+        from rmi_tpu import lookup_fast as lf
+        keys = np.sort(rng.uniform(-1e9, 1e9, size=400_000))
+        ds = RMIDataset.from_numpy(keys)
+        res = train(ds, "cubic,linear", 1024)
+        q = np.sort(rng.uniform(-1.1e9, 1.1e9, size=1 << 15))
+        out = lf.fast_search_sorted(res, jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(out), np.searchsorted(keys, q, side="left"))
+
+    def test_public_api_matches_search(self, rng):
+        from rmi_tpu.lookup import search_sorted
+        keys, res = self._mkindex(rng, n=300_000, B=512)
+        q = np.sort(rng.integers(0, 2**56, size=1 << 14, dtype=np.uint64))
+        got = np.asarray(search_sorted(res, jnp.asarray(q)))
+        want = np.asarray(search(res, jnp.asarray(q)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_small_or_sparse_falls_back(self, rng):
+        """Batches below the size floor (and plans without the packed
+        arrays) must still serve exactly through the gather path."""
+        keys, res = self._mkindex(rng, n=100_000, B=256)
+        from rmi_tpu.lookup import search_sorted
+        q = np.sort(rng.integers(0, 2**56, size=500, dtype=np.uint64))
+        np.testing.assert_array_equal(
+            np.asarray(search_sorted(res, jnp.asarray(q))),
+            np.searchsorted(keys, q, side="left"))
