@@ -283,6 +283,24 @@ def _fused_pair_rows(keys: jax.Array, key_type) -> jax.Array:
     return _fused_pair_rows_jit(hi, lo, nrows=nrows)
 
 
+def _pad_tail_rows(a: jax.Array, lanes_to: int | None = None):
+    """Append >=8 all-ones rows (to the next sublane-tile multiple +8)
+    and optionally lane-pad to ``lanes_to``.  Max-valued keys add 0 to
+    any side=left count (never strictly < q) and the sorted-serve
+    kernel's one-hot never selects them, so padding is correctness-
+    neutral for BOTH serve paths — it exists so the sorted kernel's
+    floor-to-8 DMA offsets can still cover the real tail rows
+    (ops/sorted_serve_kernel.py)."""
+    r, c = a.shape
+    ones = jnp.uint32(0xFFFFFFFF)
+    if lanes_to is not None and c < lanes_to:
+        a = jnp.concatenate(
+            [a, jnp.full((r, lanes_to - c), ones)], axis=1)
+        c = lanes_to
+    r_pad = ((r + 7) // 8) * 8 + 8
+    return jnp.concatenate([a, jnp.full((r_pad - r, c), ones)])
+
+
 def packed_sample_lanes(rmi) -> int:
     """Required sample-lane count S for the packed plan (host int)."""
     starts, next_idx = _leaf_spans_host(rmi)
@@ -486,10 +504,11 @@ def _try_packed_plan(rmi, max_err):
     plan.max_err = max_err
     plan.kind = "packed"
     plan.S = S
-    plan.level0_pair = _fused_pair_rows(rmi.keys, rmi.key_type)
-    plan.rows_u32 = _pack_u32_rows(
+    plan.level0_pair = _pad_tail_rows(
+        _fused_pair_rows(rmi.keys, rmi.key_type))
+    plan.rows_u32 = _pad_tail_rows(_pack_u32_rows(
         jnp.asarray(starts), jnp.asarray(next_idx), rmi.keys, S=S,
-        key_type=rmi.key_type)
+        key_type=rmi.key_type), lanes_to=128)
     return plan
 
 
@@ -540,18 +559,27 @@ def _sorted_stats(queries, top_params, rows_u32, off, s, kmin_key,
     sub_span = base_sl - base_sf + (S + 1)
     nsub = KQ // SUBQ
     blk_span = base_sl[nsub - 1::nsub] - base_sf[::nsub] + (S + 1)
-    return (midx, base_sf,
-            jnp.max(leaf_span), jnp.max(sub_span), jnp.max(blk_span))
+    maxes = jnp.stack([jnp.max(leaf_span), jnp.max(sub_span),
+                       jnp.max(blk_span)])
+    return midx, base_sf, maxes
 
 
-@functools.partial(jax.jit, static_argnames=("B", "nrows0", "W_leaf",
-                                             "W0", "W_sub"))
-def _sorted_offsets(midx, base_sf, *, B, nrows0, W_leaf, W0, W_sub):
-    """Pre-clipped DMA offsets for the chosen window tiers."""
+@functools.partial(jax.jit, static_argnames=("B_pad", "nrows0_pad",
+                                             "W_leaf", "W0", "W_sub"))
+def _sorted_offsets(midx, base_sf, *, B_pad, nrows0_pad, W_leaf, W0,
+                    W_sub):
+    """Pre-clipped DMA offsets for the chosen window tiers.
+
+    Mosaic needs HBM DMA slice offsets divisible by the sublane tiling
+    (8), so offsets are floored after clipping.  The clip bounds are
+    the PADDED row counts (arrays carry >=8 zero rows past the real
+    tail, never selected by the one-hot) — otherwise clip-then-floor
+    at the array tail cuts the last real rows out of the window."""
     from rmi_tpu.ops.sorted_serve_kernel import KQ, SUBQ
     nsub = KQ // SUBQ
-    leaf_lo = jnp.clip(midx[::KQ], 0, max(B - W_leaf, 0))
-    blk_lo = jnp.clip(base_sf[::nsub] - 1, 0, max(nrows0 - W0, 0))
+    leaf_lo = (jnp.clip(midx[::KQ], 0, max(B_pad - W_leaf, 0)) // 8) * 8
+    blk_lo = (jnp.clip(base_sf[::nsub] - 1, 0,
+                       max(nrows0_pad - W0, 0)) // 8) * 8
     blk_rep = jnp.repeat(blk_lo, nsub)
     sub_lo = jnp.clip(base_sf - 1, blk_rep, blk_rep + (W0 - W_sub))
     return (leaf_lo.astype(jnp.int32), blk_lo.astype(jnp.int32),
@@ -564,9 +592,11 @@ def _sorted_kernel_search(rmi, plan, queries):
     window tiers (caller falls back to the gather path)."""
     from rmi_tpu.ops import sorted_serve_kernel as ssk
     n = plan.n
-    nrows0 = plan.level0_pair.shape[0]
+    nrows0 = max(1, -(-n // STRIDE))        # real level-0 stripe rows
+    nrows0_pad = plan.level0_pair.shape[0]  # incl. all-ones tail pad
     B = rmi.branching_factor
-    if (B < ssk.W_LEAF_TIERS[0] or nrows0 < ssk.W0_TIERS[-1]
+    B_pad = plan.rows_u32.shape[0]
+    if (B_pad < ssk.W_LEAF_TIERS[0] or nrows0_pad < ssk.W0_TIERS[-1]
             or n >= 2**31 - 64):
         return None
     nq = queries.shape[0]
@@ -574,37 +604,50 @@ def _sorted_kernel_search(rmi, plan, queries):
     if pad:
         queries = jnp.concatenate(
             [queries, jnp.broadcast_to(queries[-1:], (pad,))])
-    midx, base_sf, m_leaf, m_sub, m_blk = _sorted_stats(
+    midx, base_sf, maxes = _sorted_stats(
         queries, rmi.device_top_params, plan.rows_u32,
         jnp.float64(rmi.norm_offset), jnp.float64(rmi.norm_scale),
         rmi.keys[0], rmi.keys[-1], top_type=rmi.top_type, B=B,
         S=plan.S, key_type=rmi.key_type)
-    m_leaf, m_sub, m_blk = (int(m_leaf), int(m_sub), int(m_blk))
-    W_leaf = next((w for w in ssk.W_LEAF_TIERS if m_leaf <= w <= B),
-                  None)
-    W_sub = next((w for w in ssk.W_SUB_TIERS if m_sub <= w), None)
+
+    def dispatch(W_leaf, W0, W_sub):
+        leaf_lo, blk_lo, sub_lo = _sorted_offsets(
+            midx, base_sf, B_pad=B_pad, nrows0_pad=nrows0_pad,
+            W_leaf=W_leaf, W0=W0, W_sub=W_sub)
+        qi = keymod.ordered_u64(queries, rmi.key_type)
+        qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)
+        qlo = qi.astype(jnp.uint32)
+        return ssk.serve_sorted_call(
+            qhi, qlo, midx, leaf_lo, blk_lo, sub_lo, plan.rows_u32,
+            plan.level0_pair, S=plan.S, B=B, nrows0=nrows0, n=n,
+            W_leaf=W_leaf, W0=W0, W_sub=W_sub)
+
+    # Speculate with the last batch's window tiers so the ONE host
+    # fetch of the span maxes (a tunneled ~25ms round trip) overlaps
+    # the kernel's execution instead of stalling the pipeline; the
+    # fetched maxes then verify the speculation — a re-dispatch only
+    # happens when this batch is sparser than the last.
+    tiers = getattr(plan, "_sorted_tiers", None)
+    lb = dispatch(*tiers) if tiers is not None else None
+    m_leaf, m_sub, m_blk = (int(v) for v in jax.device_get(maxes))
+    if tiers is not None:
+        W_leaf, W0, W_sub = tiers
+        if (m_leaf + 8 <= W_leaf and m_sub + 8 <= W_sub
+                and m_blk + 8 <= W0):
+            return lb[:nq].astype(jnp.int64)
+    # +8 margin: offsets are floored to sublane-tile multiples, which
+    # can push up to 7 covered rows past the window's tail.
+    W_leaf = next((w for w in ssk.W_LEAF_TIERS
+                   if m_leaf + 8 <= w <= B_pad), None)
+    W_sub = next((w for w in ssk.W_SUB_TIERS if m_sub + 8 <= w), None)
     W0 = next((w for w in ssk.W0_TIERS
-               if m_blk <= w and W_sub is not None and w >= W_sub),
+               if m_blk + 8 <= w and W_sub is not None and w >= W_sub),
               None)
     if W_leaf is None or W_sub is None or W0 is None:
+        plan._sorted_tiers = None
         return None
-    leaf_lo, blk_lo, sub_lo = _sorted_offsets(
-        midx, base_sf, B=B, nrows0=nrows0, W_leaf=W_leaf, W0=W0,
-        W_sub=W_sub)
-    rows_pad = getattr(plan, "rows_pad", None)
-    if rows_pad is None:
-        r = plan.rows_u32
-        rows_pad = jnp.concatenate(
-            [r, jnp.zeros((r.shape[0], 128 - r.shape[1]), r.dtype)],
-            axis=1)
-        plan.rows_pad = rows_pad
-    qi = keymod.ordered_u64(queries, rmi.key_type)
-    qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)
-    qlo = qi.astype(jnp.uint32)
-    lb = ssk.serve_sorted_call(
-        qhi, qlo, midx, leaf_lo, blk_lo, sub_lo, rows_pad,
-        plan.level0_pair, S=plan.S, B=B, nrows0=nrows0, n=n,
-        W_leaf=W_leaf, W0=W0, W_sub=W_sub)
+    plan._sorted_tiers = (W_leaf, W0, W_sub)
+    lb = dispatch(W_leaf, W0, W_sub)
     return lb[:nq].astype(jnp.int64)
 
 
