@@ -214,6 +214,23 @@ def lookup(rmi, queries):
     return pos, jnp.full_like(pos, line_size)
 
 
+# Batch size where sort->sorted-kernel->unsort overtakes the 2-gather
+# path on TPU (calibrated on v5e, probes/probe_sort_pipeline.py); the
+# Pallas kernel only compiles on TPU, so "auto" stays off elsewhere.
+SORT_SERVE_MIN = 1 << 20
+
+
+def _sort_serve_wanted(nq: int) -> bool:
+    import os
+    mode = os.environ.get("RMI_SERVE_SORT", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    from rmi_tpu.ops.sweep_kernel import use_interpret
+    return nq >= SORT_SERVE_MIN and not use_interpret()
+
+
 def search(rmi, queries, keys=None):
     """Exact lower-bound indices via guess +/- err bounded search.
 
@@ -230,6 +247,10 @@ def search(rmi, queries, keys=None):
                                    err + 1, n=n, iters=iters)
     from rmi_tpu import lookup_fast
     if keys is None and lookup_fast.supports_fast_path(rmi):
+        if _sort_serve_wanted(queries.shape[0]):
+            # large random batches: sort -> gather-free window kernel
+            # -> unsort beats the dynamic-gather issue-rate cap
+            return lookup_fast.fast_search_via_sort(rmi, queries)
         # hierarchical row-resolve: the TPU-native last mile
         return lookup_fast.fast_search(rmi, queries)
     if keys is None:

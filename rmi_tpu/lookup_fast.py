@@ -657,9 +657,8 @@ def fast_search_sorted(rmi, queries):
     Uses the gather-free window kernel when the batch is dense enough
     for its DMA windows (the usual bulk-lookup shape); falls back to
     the per-query gather path otherwise.  Callers with unsorted
-    batches: ``jnp.argsort`` + this + inverse scatter — see
-    probes/probe_query_sort.py for when that trade wins.
-    """
+    batches: ``fast_search_via_sort`` packages the argsort + inverse
+    permutation trade."""
     plan = get_plan(rmi)
     queries = jnp.asarray(queries)
     if plan.kind == "packed" and queries.shape[0] >= 1 << 14:
@@ -667,6 +666,45 @@ def fast_search_sorted(rmi, queries):
         if out is not None:
             return out
     return fast_search(rmi, queries)
+
+
+# ---------------------------------------------------------------------------
+# random-batch serving through the sorted kernel: sort -> serve -> unsort
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _sort_with_order(q):
+    return jax.lax.sort_key_val(
+        q, jax.lax.iota(jnp.int32, q.shape[0]))
+
+
+@jax.jit
+def _unsort_i32(order, vals):
+    return jax.lax.sort_key_val(order, vals)[1]
+
+
+def fast_search_via_sort(rmi, queries):
+    """Exact lower bounds for an ARBITRARY-ORDER batch via the
+    gather-free sorted kernel.
+
+    The 2-gather packed path is pinned at the TPU dynamic-gather issue
+    rate (~50ns/query); XLA's TPU sort is a vectorized sorting network
+    with no such cap, so for large batches
+      sort_key_val(q, iota) -> sorted kernel -> sort_key_val(order, lb)
+    beats gathering (the inverse permutation is a second sort — a
+    direct scatter would itself hit the issue-rate cap).  Falls back to
+    the gather path when the sorted kernel declines (sparse batch).
+    """
+    plan = get_plan(rmi)
+    queries = jnp.asarray(queries)
+    nq = queries.shape[0]
+    if plan.kind != "packed" or nq >= 2**31:
+        return fast_search(rmi, queries)
+    qs, order = _sort_with_order(queries)
+    lb = _sorted_kernel_search(rmi, plan, qs)
+    if lb is None:
+        return fast_search(rmi, queries)
+    return _unsort_i32(order, lb.astype(jnp.int32)).astype(jnp.int64)
 
 
 # Row gathers materialize [chunk, 128] blocks (1KB/query); cap the

@@ -254,3 +254,23 @@ class TestSortedServe:
         np.testing.assert_array_equal(
             np.asarray(search_sorted(res, jnp.asarray(q))),
             np.searchsorted(keys, q, side="left"))
+
+    def test_via_sort_random_batch(self, rng, monkeypatch):
+        """sort -> sorted kernel -> unsort must be exact for an
+        arbitrary-order batch, and the search() auto hook must honor
+        RMI_SERVE_SORT."""
+        from rmi_tpu import lookup_fast as lf
+        keys, res = self._mkindex(rng)
+        q = rng.integers(0, 2**56, size=1 << 15, dtype=np.uint64)
+        q[:4] = 0
+        q[-4:] = 2**56 - 1              # unsorted, with extremes
+        want = np.searchsorted(keys, q, side="left")
+        out = lf.fast_search_via_sort(res, jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(out), want)
+        # the public search() takes the same path when forced
+        monkeypatch.setenv("RMI_SERVE_SORT", "1")
+        np.testing.assert_array_equal(
+            np.asarray(search(res, jnp.asarray(q))), want)
+        monkeypatch.setenv("RMI_SERVE_SORT", "0")
+        np.testing.assert_array_equal(
+            np.asarray(search(res, jnp.asarray(q))), want)
