@@ -698,12 +698,23 @@ def fast_search_via_sort(rmi, queries):
     plan = get_plan(rmi)
     queries = jnp.asarray(queries)
     nq = queries.shape[0]
-    if plan.kind != "packed" or nq >= 2**31:
+    # density gate: a uniform batch needs the per-block stripe span
+    # (~nrows0 * KQ / nq) to fit the largest window tier with headroom,
+    # i.e. nq >= ~0.75 * nrows0 — below that the sort+stats probe would
+    # all but surely decline (the veto below catches skewed cases)
+    nrows0 = max(1, -(-plan.n // STRIDE))
+    if (plan.kind != "packed" or nq >= 2**31 or 4 * nq < 3 * nrows0
+            or getattr(plan, "_sort_serve_veto", 0) >= 2):
+        # >= 2 consecutive declines: this workload's batches are too
+        # sparse for the window tiers — stop paying the sort+stats
+        # probe on every call (the gather path is the right shape)
         return fast_search(rmi, queries)
     qs, order = _sort_with_order(queries)
     lb = _sorted_kernel_search(rmi, plan, qs)
     if lb is None:
+        plan._sort_serve_veto = getattr(plan, "_sort_serve_veto", 0) + 1
         return fast_search(rmi, queries)
+    plan._sort_serve_veto = 0
     return _unsort_i32(order, lb.astype(jnp.int32)).astype(jnp.int64)
 
 
