@@ -662,10 +662,118 @@ def fast_search_sorted(rmi, queries):
     plan = get_plan(rmi)
     queries = jnp.asarray(queries)
     if plan.kind == "packed" and queries.shape[0] >= 1 << 14:
-        out = _sorted_kernel_search(rmi, plan, queries)
+        if _fused_enabled():
+            out = _sorted_kernel_search_fused(rmi, plan, queries)
+        else:
+            out = _sorted_kernel_search(rmi, plan, queries)
         if out is not None:
             return out
     return fast_search(rmi, queries)
+
+
+# ---------------------------------------------------------------------------
+# fused sorted search: on-device tier switch, zero host synchronization
+# ---------------------------------------------------------------------------
+
+# (W_leaf, W0, W_sub) combos the fused program compiles; the first
+# fitting tier serves the batch, anything sparser takes the in-graph
+# gather fallback.  Kept to 3 so the one-time compile stays modest.
+_FUSED_TIERS = ((64, 512, 64), (256, 2048, 128), (1024, 4096, 512))
+
+# gather-fallback chunk: bounds the [CH, 128] row-gather transient
+_FUSED_FALLBACK_CHUNK = 1 << 20
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "top_type", "B", "S", "key_type", "n", "B_pad", "nrows0_pad",
+    "tiers"))
+def _sorted_fused_core(queries, top_params, rows_u32, level0, off, s,
+                       kmin_key, kmax_key, *, top_type, B, S, key_type,
+                       n, B_pad, nrows0_pad, tiers):
+    """Sorted-batch exact search as ONE device program.
+
+    The v1 path (_sorted_kernel_search) fetches the window-span maxes
+    to pick static kernel tiers on host — a tunneled ~25ms round trip
+    per batch that speculation only partially hides, and a decline path
+    that wastes the sort.  Here the tier choice is a traced
+    ``lax.switch`` over precompiled kernel variants, and the final
+    branch is the chunked 2-gather search itself (correct for ANY
+    span), so the program never needs the host and never declines.
+    """
+    from rmi_tpu.ops import sorted_serve_kernel as ssk
+    nq = queries.shape[0]
+    nrows0 = max(1, -(-n // STRIDE))
+    midx, base_sf, maxes = _sorted_stats(
+        queries, top_params, rows_u32, off, s, kmin_key, kmax_key,
+        top_type=top_type, B=B, S=S, key_type=key_type)
+    qi = keymod.ordered_u64(queries, key_type)
+    qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)
+    qlo = qi.astype(jnp.uint32)
+
+    def tier_branch(Wl, W0, Ws):
+        def br():
+            leaf_lo, blk_lo, sub_lo = _sorted_offsets(
+                midx, base_sf, B_pad=B_pad, nrows0_pad=nrows0_pad,
+                W_leaf=Wl, W0=W0, W_sub=Ws)
+            out = ssk.serve_sorted_call(
+                qhi, qlo, midx, leaf_lo, blk_lo, sub_lo, rows_u32,
+                level0, S=S, B=B, nrows0=nrows0, n=n,
+                W_leaf=Wl, W0=W0, W_sub=Ws)
+            return out.reshape(-1)
+        return br
+
+    def fallback():
+        CH = _FUSED_FALLBACK_CHUNK
+        pad2 = (-nq) % CH
+        qp = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[-1:], (pad2,))]) \
+            if pad2 else queries
+        outs = jax.lax.map(
+            lambda qc: _fast_search_packed(
+                qc, top_params, rows_u32, off, s, level0, kmin_key,
+                kmax_key, top_type=top_type, B=B, n=n,
+                key_type=key_type, S=S),
+            qp.reshape(-1, CH))
+        return outs.reshape(-1)[:nq].astype(jnp.int32)
+
+    # +8 margin: DMA offsets are floored to sublane-tile multiples
+    fits = [(maxes[0] + 8 <= Wl) & (maxes[1] + 8 <= Ws)
+            & (maxes[2] + 8 <= W0) for (Wl, W0, Ws) in tiers]
+    idx = jnp.int32(len(tiers))
+    for i in reversed(range(len(tiers))):
+        idx = jnp.where(fits[i], jnp.int32(i), idx)
+    branches = [tier_branch(*t) for t in tiers] + [fallback]
+    return jax.lax.switch(idx, branches)
+
+
+def _sorted_kernel_search_fused(rmi, plan, queries):
+    """Fused-program twin of _sorted_kernel_search: never declines
+    (sparse batches take the in-graph gather branch), never syncs."""
+    from rmi_tpu.ops import sorted_serve_kernel as ssk
+    n = plan.n
+    B_pad = plan.rows_u32.shape[0]
+    nrows0_pad = plan.level0_pair.shape[0]
+    tiers = tuple(t for t in _FUSED_TIERS
+                  if t[0] <= B_pad and t[1] <= nrows0_pad)
+    if not tiers or n >= 2**31 - 64:
+        return None
+    nq = queries.shape[0]
+    pad = (-nq) % ssk.KQ
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[-1:], (pad,))])
+    out = _sorted_fused_core(
+        queries, rmi.device_top_params, plan.rows_u32, plan.level0_pair,
+        jnp.float64(rmi.norm_offset), jnp.float64(rmi.norm_scale),
+        rmi.keys[0], rmi.keys[-1], top_type=rmi.top_type,
+        B=rmi.branching_factor, S=plan.S, key_type=rmi.key_type,
+        n=n, B_pad=B_pad, nrows0_pad=nrows0_pad, tiers=tiers)
+    return out[:nq].astype(jnp.int64)
+
+
+def _fused_enabled() -> bool:
+    import os
+    return os.environ.get("RMI_SORTED_FUSED", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -710,7 +818,10 @@ def fast_search_via_sort(rmi, queries):
         # probe on every call (the gather path is the right shape)
         return fast_search(rmi, queries)
     qs, order = _sort_with_order(queries)
-    lb = _sorted_kernel_search(rmi, plan, qs)
+    if _fused_enabled():
+        lb = _sorted_kernel_search_fused(rmi, plan, qs)
+    else:
+        lb = _sorted_kernel_search(rmi, plan, qs)
     if lb is None:
         plan._sort_serve_veto = getattr(plan, "_sort_serve_veto", 0) + 1
         return fast_search(rmi, queries)

@@ -255,6 +255,21 @@ class TestSortedServe:
             np.asarray(search_sorted(res, jnp.asarray(q))),
             np.searchsorted(keys, q, side="left"))
 
+    def test_fused_dense_and_sparse(self, rng):
+        """The fused program must be exact through BOTH a kernel tier
+        (dense batch) and the in-graph gather fallback (sparse batch),
+        with no decline in either case."""
+        from rmi_tpu import lookup_fast as lf
+        keys, res = self._mkindex(rng)
+        plan = get_plan(res)
+        assert plan.kind == "packed"
+        for nq in (1 << 15, 2048):        # dense -> tier, sparse -> fallback
+            q = np.sort(rng.integers(0, 2**56, size=nq, dtype=np.uint64))
+            out = lf._sorted_kernel_search_fused(res, plan, jnp.asarray(q))
+            assert out is not None
+            np.testing.assert_array_equal(
+                np.asarray(out), np.searchsorted(keys, q, side="left"))
+
     def test_via_sort_random_batch(self, rng, monkeypatch):
         """sort -> sorted kernel -> unsort must be exact for an
         arbitrary-order batch, and the search() auto hook must honor
