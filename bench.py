@@ -52,7 +52,7 @@ def gen_books_like(n: int, seed: int = 42):
     return keys
 
 
-def measure_search(res, queries, iters):
+def measure_search(res, queries, iters, search_fn=None):
     """Exact-search throughput (queries/s) with CHAINED batches.
 
     block_until_ready is unreliable over the tunneled device, so each
@@ -61,18 +61,19 @@ def measure_search(res, queries, iters):
     transfer at the end fences the chain."""
     import jax
     import jax.numpy as jnp
-    from rmi_tpu.lookup import search
+    if search_fn is None:
+        from rmi_tpu.lookup import search as search_fn
 
     dt_q = queries.dtype
     perturb = jax.jit(
         lambda q, i: q ^ (i & 1023).astype(dt_q) if dt_q != jnp.float64
         else q + (i & 3).astype(jnp.float64))
-    idx = search(res, queries)
+    idx = search_fn(res, queries)
     _ = int(jnp.max(idx))               # warm up compile + sync
     q = queries
     t0 = time.time()
     for i in range(iters):
-        idx = search(res, q)
+        idx = search_fn(res, q)
         q = perturb(queries, idx)
     _ = int(jnp.max(idx))               # forces the whole chain
     dt = (time.time() - t0) / iters
@@ -244,15 +245,19 @@ def run(n, t_start):
     shard_flag = os.environ.get("RMI_BENCH_SHARD", "auto")
     use_shard = (ndev > 1) if shard_flag == "auto" else shard_flag == "1"
     serve_res = res
+    search_fn = None
     if use_shard:
-        from rmi_tpu.parallel.serve import (replicate_rmi, serving_mesh,
-                                            shard_queries)
-        mesh = serving_mesh()
-        serve_res = replicate_rmi(res, mesh)
-        queries, _ = shard_queries(queries, mesh)
-        log(f"serving sharded over {ndev} devices")
+        # per-device copies + host-split batches: every chip runs the
+        # FULL single-chip fast path (incl. the chip-local sorted
+        # pipeline); no SPMD collectives anywhere (parallel/serve.py)
+        from rmi_tpu.parallel.serve import (replicate_rmi_per_device,
+                                            search_sharded)
+        rmis = replicate_rmi_per_device(res)
+        search_fn = lambda r, q: search_sharded(rmis, q)  # noqa: E731
+        log(f"serving sharded over {ndev} devices (per-device copies)")
 
-    total_rate = measure_search(serve_res, queries, iters)
+    total_rate = measure_search(serve_res, queries, iters,
+                                search_fn=search_fn)
     rate = total_rate / (ndev if use_shard else 1)
     batch_ms = queries.shape[0] / total_rate * 1e3
     ovh_ms = measure_perturb_overhead(queries, iters) * 1e3

@@ -811,7 +811,14 @@ def fast_search_via_sort(rmi, queries):
     # i.e. nq >= ~0.75 * nrows0 — below that the sort+stats probe would
     # all but surely decline (the veto below catches skewed cases)
     nrows0 = max(1, -(-plan.n // STRIDE))
+    sharding = getattr(queries, "sharding", None)
+    multi_dev = (sharding is not None
+                 and len(sharding.device_set) > 1
+                 and not sharding.is_fully_replicated)
     if (plan.kind != "packed" or nq >= 2**31 or 4 * nq < 3 * nrows0
+            or multi_dev   # a global sort would ride collectives;
+                           # sharded batches use parallel.serve's
+                           # per-shard sorted pipeline instead
             or getattr(plan, "_sort_serve_veto", 0) >= 2):
         # >= 2 consecutive declines: this workload's batches are too
         # sparse for the window tiers — stop paying the sort+stats

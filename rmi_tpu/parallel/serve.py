@@ -74,3 +74,60 @@ def shard_queries(queries, mesh: Optional[Mesh] = None):
         queries = jnp.concatenate(
             [queries, jnp.broadcast_to(queries[-1:], (pad,))])
     return jax.device_put(queries, NamedSharding(mesh, P(QUERY_AXIS))), m
+
+
+# ---------------------------------------------------------------------------
+# per-device serving: host-split batches, full single-chip fast paths
+# ---------------------------------------------------------------------------
+
+def replicate_rmi_per_device(rmi, devices=None):
+    """One independent single-device copy of the serving arrays per
+    chip.  Unlike ``replicate_rmi`` (SPMD replication), each copy runs
+    the COMPLETE single-chip serving stack — including the sorted
+    kernel pipeline, whose per-batch sort must stay chip-local (a
+    global SPMD sort would ride collectives).  Serving caches (search
+    plans) build per copy on first use."""
+    import dataclasses as _dc
+    if devices is None:
+        devices = jax.devices()
+
+    def put(x, d):
+        if x is None:
+            return None
+        if isinstance(x, dict):
+            return {k: jax.device_put(v, d) for k, v in x.items()}
+        return jax.device_put(x, d)
+
+    return [_dc.replace(
+        rmi,
+        keys=put(rmi.keys, d),
+        leaf_errors=put(rmi.leaf_errors, d),
+        device_top_params=put(rmi.device_top_params, d),
+        device_leaf_params=put(rmi.device_leaf_params, d),
+    ) for d in devices]
+
+
+def search_sharded(rmis, queries):
+    """Exact lower bounds for ``queries`` split across per-device RMI
+    copies (``replicate_rmi_per_device``).  Dispatch is round-robin and
+    fully async — every shard is in flight before any result is
+    fetched; device executions overlap (the config-sweep pattern,
+    optimizer.rs:220-231 in substance)."""
+    from rmi_tpu.lookup import search
+
+    nd = len(rmis)
+    queries = jnp.asarray(queries)
+    m = queries.shape[0]
+    per = -(-m // nd)
+    pad = per * nd - m
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[-1:], (pad,))])
+    parts = []
+    for i, r in enumerate(rmis):
+        dev = r.keys.devices().pop()
+        q_i = jax.device_put(queries[i * per:(i + 1) * per], dev)
+        parts.append(search(r, q_i))
+    out = jnp.concatenate([jax.device_put(p, rmis[0].keys.devices().pop())
+                           for p in parts])
+    return out[:m]

@@ -153,6 +153,24 @@ def test_serve_replicated_matches_single(mesh, rng):
     np.testing.assert_array_equal(base, out)
 
 
+def test_serve_per_device_matches_single(mesh, rng):
+    """parallel.serve per-device mode: host-split batches over
+    independent chip-local copies (the mode that keeps the sorted
+    pipeline's sort chip-local) returns the single-device answer."""
+    from rmi_tpu.lookup import search
+    from rmi_tpu.parallel.serve import (replicate_rmi_per_device,
+                                        search_sharded)
+
+    keys = np.sort(rng.integers(0, 2**40, size=8192, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "cubic,linear", 64)
+    q = rng.integers(0, 2**41, size=1003, dtype=np.uint64)
+    base = np.asarray(search(res, jnp.asarray(q)))
+    rmis = replicate_rmi_per_device(res, jax.devices()[:8])
+    out = np.asarray(search_sharded(rmis, jnp.asarray(q)))
+    np.testing.assert_array_equal(base, out)
+
+
 @pytest.mark.parametrize("top,leaf,B", [
     ("loglinear", "linear", 32),
     ("normal", "linear", 32),
