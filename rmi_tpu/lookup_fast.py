@@ -159,8 +159,10 @@ class SearchPlan:
 
 # widest leaf row for the packed (2-gather) plan: 1 base lane + S
 # sample lanes, all u64.  1KB rows gather at the same issue rate as
-# narrow ones, so the cap is generous.
-_PACKED_MAX_LANES = 128
+# narrow ones, so the cap is generous; rows wider than 128 lanes keep
+# the 2-gather path but decline the sorted-batch kernel (its VMEM
+# window layout is fixed at 128 lanes, ops/sorted_serve_kernel.py).
+_PACKED_MAX_LANES = 256
 
 # tops provably MONOTONE over the full query domain — the correctness
 # condition of the packed plan (lb(q) in [start_j, next_idx_j] for
@@ -508,7 +510,8 @@ def _try_packed_plan(rmi, max_err):
         _fused_pair_rows(rmi.keys, rmi.key_type))
     plan.rows_u32 = _pad_tail_rows(_pack_u32_rows(
         jnp.asarray(starts), jnp.asarray(next_idx), rmi.keys, S=S,
-        key_type=rmi.key_type), lanes_to=128)
+        key_type=rmi.key_type),
+        lanes_to=128 if 1 + 2 * S <= 128 else _PACKED_MAX_LANES)
     return plan
 
 
@@ -597,7 +600,7 @@ def _sorted_kernel_search(rmi, plan, queries):
     B = rmi.branching_factor
     B_pad = plan.rows_u32.shape[0]
     if (B_pad < ssk.W_LEAF_TIERS[0] or nrows0_pad < ssk.W0_TIERS[-1]
-            or n >= 2**31 - 64):
+            or n >= 2**31 - 64 or plan.rows_u32.shape[1] != 128):
         return None
     nq = queries.shape[0]
     pad = (-nq) % ssk.KQ
@@ -755,7 +758,7 @@ def _sorted_kernel_search_fused(rmi, plan, queries):
     nrows0_pad = plan.level0_pair.shape[0]
     tiers = tuple(t for t in _FUSED_TIERS
                   if t[0] <= B_pad and t[1] <= nrows0_pad)
-    if not tiers or n >= 2**31 - 64:
+    if not tiers or n >= 2**31 - 64 or plan.rows_u32.shape[1] != 128:
         return None
     nq = queries.shape[0]
     pad = (-nq) % ssk.KQ
@@ -816,6 +819,7 @@ def fast_search_via_sort(rmi, queries):
                  and len(sharding.device_set) > 1
                  and not sharding.is_fully_replicated)
     if (plan.kind != "packed" or nq >= 2**31 or 4 * nq < 3 * nrows0
+            or plan.rows_u32.shape[1] != 128  # wide rows: kernel declines
             or multi_dev   # a global sort would ride collectives;
                            # sharded batches use parallel.serve's
                            # per-shard sorted pipeline instead
