@@ -37,6 +37,7 @@ import numpy as np
 from rmi_tpu import keys as keymod
 from rmi_tpu.models import get_model, predict_clamped
 from rmi_tpu.train.two_layer import predict_top_assignment, model_float_input
+from rmi_tpu.utils import segments as seg
 
 STRIDE = 64          # row stride of the overlapped views
 WIDTH = 128          # lanes per row
@@ -327,8 +328,9 @@ def _leaf_spans_host(rmi):
         t = predict_top_assignment(
             mtop, rmi.device_top_params, keys, xn, xraw,
             rmi.branching_factor - 1).astype(jnp.int32)
-        leaf_ids = jnp.arange(rmi.branching_factor, dtype=jnp.int32)
-        starts = jnp.searchsorted(t, leaf_ids, side="left")
+        # t is non-decreasing over the sorted keys: blocked
+        # sorted_starts, not searchsorted (244ms-class at 200M/2^18)
+        starts = seg.sorted_starts(t, rmi.branching_factor)
         ends = jnp.concatenate([starts[1:],
                                 jnp.full((1,), t.shape[0], starts.dtype)])
         nonempty = starts < ends

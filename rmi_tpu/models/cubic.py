@@ -80,11 +80,13 @@ def _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw, ep_yf=None,
 
     n = spans.n
     # first element of the range with x > xmin (cubic_spline.rs:46-54):
-    # global upper_bound of xmin, clipped into the range.
-    i1 = jnp.clip(jnp.searchsorted(keys_f, xmin, side="right"), 0, n - 1)
+    # global upper_bound of xmin, clipped into the range.  hier_count
+    # replaces searchsorted's log2(n) dependent-gather loop with a
+    # 128-fan ladder of full-lane row counts (segments.py).
+    i1 = jnp.clip(seg.hier_count(keys_f, xmin, strict=False), 0, n - 1)
     # last element with x < xmax (cubic_spline.rs:56-65): global
     # lower_bound of xmax minus one.
-    i2 = jnp.clip(jnp.searchsorted(keys_f, xmax, side="left") - 1, 0, n - 1)
+    i2 = jnp.clip(seg.hier_count(keys_f, xmax, strict=True) - 1, 0, n - 1)
 
     safe_span = jnp.where(degenerate, 1.0, xmax - xmin)
     safe_yspan = jnp.where(ymax == ymin, 1.0, ymax - ymin)

@@ -126,8 +126,9 @@ def _bradix_fit_top(keys_f, ys_f, ep_ys_f, n, keys=None, B=None, **_):
         # pathological low-variant overflow).
         b = jnp.minimum(bucket_u64,
                         jnp.maximum(max_output, jnp.uint64(1)) - 1)
-        edges = jnp.arange(nbins + 1, dtype=jnp.uint64)
-        bounds = jnp.searchsorted(b, edges, side="left")
+        # b is monotone over the sorted keys -> blocked sorted_starts
+        # instead of searchsorted's dependent-gather loop
+        bounds = seg.sorted_starts(b, nbins + 1)
         counts = (bounds[1:] - bounds[:nbins]).astype(jnp.float64)
         live = jnp.arange(nbins, dtype=jnp.uint64) < max_output
         e = jnp.float64(n) / jnp.maximum(jnp.float64(max_output), 1.0)
@@ -192,8 +193,10 @@ def _make_radix_table_fit(bits: int):
         # table[b] = scaled target of the first key with bucket >= b;
         # buckets past the last key's get the table SIZE (the
         # reference's fill value is hint_table.len(), radix.rs:111-113).
+        # buckets are monotone over sorted keys and slots are arange:
+        # blocked sorted_starts, not searchsorted (~5s -> ms at 2^22)
+        first = seg.sorted_starts(bucket, size)
         slots = jnp.arange(size, dtype=jnp.uint64)
-        first = jnp.searchsorted(bucket, slots, side="left")
         vals = ys_f[jnp.clip(first, 0, n - 1)].astype(jnp.uint32)
         table = jnp.where(slots > bucket[n - 1], jnp.uint32(size), vals)
         # bucket 0 keeps its initial 0: the construction loop's
@@ -259,8 +262,10 @@ def _make_radix_table_fit_leaves(bits: int):
         slots = jnp.arange(size, dtype=jnp.uint64)
         thresholds = (top_bits[:, None]
                       + (slots[None, :] << shift[:, None]))  # [B, size]
-        ss = jnp.searchsorted(ki, thresholds.reshape(-1),
-                              side="left").reshape(B, size)
+        # thresholds are NOT globally sorted (leaf windows overlap), so
+        # this is hier_count's ladder, not sorted_starts
+        ss = seg.hier_count(ki, thresholds.reshape(-1),
+                            strict=True).reshape(B, size)
         idx = jnp.clip(ss, spans.aug_starts[:, None],
                        jnp.maximum(spans.aug_ends[:, None] - 1, 0))
         yfix_u32 = yf.astype(jnp.uint32)                 # y as u32

@@ -50,6 +50,7 @@ except (ImportError, TypeError):  # older jax
 
 from rmi_tpu import keys as keymod
 from rmi_tpu.keys import KeyType
+from rmi_tpu.utils import segments as seg
 
 AXIS = "data"
 
@@ -635,8 +636,8 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
         items_per_bin = n // max(num_bins, 1)
         pidx = jnp.arange(num_bins, dtype=jnp.int64) * items_per_bin
         pivots = global_value_at(ki, pidx, dtype=jnp.uint64)
-        ub = jnp.searchsorted(pivots, ki, side="right")
-        t_int = (ub.astype(jnp.int64) - 1).astype(jnp.uint64)
+        ub = seg.hier_count(pivots, ki, strict=False)
+        t_int = (ub - 1).astype(jnp.uint64)
         top_p = pivots.astype(jnp.float64)[None, :]
     else:
         raise NotImplementedError(top_type)

@@ -25,6 +25,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def iso_take(table: jax.Array, idx: jax.Array) -> jax.Array:
@@ -301,6 +302,76 @@ def sorted_starts(t: jax.Array, B: int) -> jax.Array:
     else:
         cnt = _map_leaf_chunks(count_lt, B, blk, jall)
     return (blk.astype(jnp.int64) * _SP_BLK + cnt)
+
+
+_HC_ROW = 128       # lanes per level row == level fan-out
+_HC_CHUNK = 1 << 20  # bounds the [chunk, 128] row-gather transient
+
+
+def hier_count(sorted_vals: jax.Array, queries: jax.Array,
+               strict: bool = False) -> jax.Array:
+    """#{i : sorted_vals[i] < q} (strict) / <= q per query — i.e.
+    searchsorted(sorted_vals, q, side='left' if strict else 'right')
+    for arbitrary (unsorted) queries.
+
+    jnp.searchsorted lowers to a per-query binary-search while-loop:
+    log2(m) DEPENDENT narrow gathers per query, the worst access shape
+    for TPU HBM (measured ~4x slowdown of histogram serving at
+    m=4096; ~5s build stalls at m=2^22).  Counting into a sorted array
+    needs no loop: a level ladder sorted_vals[::128^k] down to <=128
+    entries gives a 128-coarse count c from ONE broadcast compare, and
+    each finer level refines it with ONE aligned full-lane row gather
+    + compare-reduce — the prefix {v OP q} ends inside lanes
+    [128(c-1), 128c), which is exactly row c-1 of the level reshaped
+    [m/128, 128].  Exact for any dtype (integer compares / IEEE f64
+    compares); queries are chunked so the [chunk, 128] gather
+    transient stays bounded.
+    """
+    m = sorted_vals.shape[0]
+    nq = queries.shape[0]
+    if m == 0:
+        return jnp.zeros((nq,), jnp.int64)
+    if jnp.issubdtype(sorted_vals.dtype, jnp.floating):
+        maxv = np.asarray(np.inf, sorted_vals.dtype)
+    else:
+        maxv = np.iinfo(np.dtype(sorted_vals.dtype)).max
+    levels = [sorted_vals]
+    while levels[-1].shape[0] > _HC_ROW:
+        levels.append(levels[-1][::_HC_ROW])
+    top = levels[-1]
+    top_row = jnp.concatenate(
+        [top, jnp.full((_HC_ROW - top.shape[0],), maxv, top.dtype)]) \
+        if top.shape[0] < _HC_ROW else top
+    row_views = []
+    for lvl in levels[-2::-1]:
+        ml = lvl.shape[0]
+        nrows = -(-ml // _HC_ROW)
+        pad = nrows * _HC_ROW - ml
+        padded = jnp.concatenate(
+            [lvl, jnp.full((pad,), maxv, lvl.dtype)]) if pad else lvl
+        row_views.append((ml, padded.reshape(nrows, _HC_ROW)))
+
+    def op(a, q):
+        return (a < q) if strict else (a <= q)
+
+    def count_chunk(q):
+        cnt = jnp.sum(op(top_row[None, :], q[:, None]), axis=1,
+                      dtype=jnp.int32)
+        cnt = jnp.minimum(cnt, top.shape[0])
+        for ml, rows in row_views:
+            r = jnp.clip(cnt - 1, 0, rows.shape[0] - 1)
+            cnt = r * _HC_ROW + jnp.sum(op(rows[r], q[:, None]), axis=1,
+                                        dtype=jnp.int32)
+            cnt = jnp.minimum(cnt, ml)
+        return cnt.astype(jnp.int64)
+
+    if nq <= _HC_CHUNK:
+        return count_chunk(queries)
+    pad = (-nq) % _HC_CHUNK
+    qp = jnp.concatenate([queries, jnp.broadcast_to(queries[-1:], (pad,))]) \
+        if pad else queries
+    out = jax.lax.map(count_chunk, qp.reshape(-1, _HC_CHUNK))
+    return out.reshape(-1)[:nq]
 
 
 def make_spans(t: jax.Array, B: int) -> Spans:

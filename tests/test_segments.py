@@ -37,6 +37,29 @@ def test_sorted_starts_edge_cases(rng):
         out1, np.searchsorted([3], np.arange(8), side="left"))
 
 
+def test_hier_count_oracle(rng):
+    # exact parity with searchsorted for both sides, int and float,
+    # across ladder depths (m <= 128, one level, two levels) and with
+    # queries hitting exact values, 0, and the dtype max
+    for m in (1, 127, 128, 129, 1000, 16384, (1 << 20) + 7):
+        vals = np.sort(rng.integers(0, 2**63, m, dtype=np.uint64))
+        q = np.concatenate([
+            rng.integers(0, 2**64, 4096, dtype=np.uint64), vals[:64],
+            np.array([0, 2**64 - 1], dtype=np.uint64)])
+        for strict, side in ((True, "left"), (False, "right")):
+            out = np.asarray(seg.hier_count(
+                jnp.asarray(vals), jnp.asarray(q), strict=strict))
+            np.testing.assert_array_equal(
+                out, np.searchsorted(vals, q, side=side))
+    fv = np.sort(rng.random(5000) * 1e9)
+    fq = np.concatenate([rng.random(2048) * 1.2e9, fv[:64]])
+    for strict, side in ((True, "left"), (False, "right")):
+        out = np.asarray(seg.hier_count(
+            jnp.asarray(fv), jnp.asarray(fq), strict=strict))
+        np.testing.assert_array_equal(
+            out, np.searchsorted(fv, fq, side=side))
+
+
 def test_range_max_oracle(case, rng):
     n, B, t, starts, ends = case
     v = rng.integers(0, 10**6, n).astype(np.int32)
