@@ -200,29 +200,35 @@ _B_GENERIC_LEAVES = frozenset({
     "linear", "robust_linear", "loglinear", "linear_spline", "cubic",
     "normal", "lognormal"})
 
-# Largest pad bucket a single grid program uses; branching factors
-# above it (disk profile reaches 2^27) go into a second bucket so the
-# common grid's [bucket]-sized arrays stay ~100s of MB.
-_GRID_BUCKET_CAP = 1 << 24
+# Pad-bucket tiers: each grid program pads its [bucket]-sized arrays
+# to the smallest tier covering its branching factors.  Two tiers keep
+# the compile count at ~2 programs per (pair, phase) while confining
+# the 2^24-scale spans/fits to the 2-3 largest grid points — the
+# one-bucket-for-everything layout ran EVERY phase-2 point at 2^24
+# scale and crashed the tunneled TPU worker mid-phase-2 at 25M keys.
+# Tiers below 2^21 would not pay for their extra compiles: the n-scale
+# key passes dominate the per-point cost once B << n.  Factors above
+# the last tier (disk profile reaches 2^27) get their own next-pow2
+# bucket.
+_GRID_BUCKET_TIERS = (1 << 21, 1 << 24)
 
 
 def bucket_for(bs: Sequence[int]) -> int:
-    """The static pad bucket for a set of branching factors: the next
-    power of two >= max(bs) (all grid factors are powers of two, so in
-    practice this IS max(bs))."""
+    """The static pad bucket for a set of branching factors: the
+    smallest tier >= max(bs), or the next power of two above the last
+    tier."""
     m = max(int(b) for b in bs)
+    for tier in _GRID_BUCKET_TIERS:
+        if m <= tier:
+            return tier
     return 1 << (m - 1).bit_length()
 
 
 def _bucket_groups(bfs: Sequence[int]) -> List[Tuple[int, List[int]]]:
-    small = [b for b in bfs if b <= _GRID_BUCKET_CAP]
-    large = [b for b in bfs if b > _GRID_BUCKET_CAP]
-    out = []
-    if small:
-        out.append((bucket_for(small), small))
-    if large:
-        out.append((bucket_for(large), large))
-    return out
+    groups: dict = {}
+    for b in bfs:
+        groups.setdefault(bucket_for([b]), []).append(b)
+    return sorted(groups.items())
 
 
 def grid_measurable(models: str) -> bool:
