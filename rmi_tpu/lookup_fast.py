@@ -682,8 +682,13 @@ def fast_search_sorted(rmi, queries):
 
 # (W_leaf, W0, W_sub) combos the fused program compiles; the first
 # fitting tier serves the batch, anything sparser takes the in-graph
-# gather fallback.  Kept to 3 so the one-time compile stays modest.
-_FUSED_TIERS = ((64, 512, 64), (256, 2048, 128), (1024, 4096, 512))
+# gather fallback.  Tiers must be cost-ordered; the two middle combos
+# matter because subgroup maxes run ~1.5x their mean on uniform
+# batches (measured (leaf 139, sub 151, lvl0 1664) at 200M/4M-query
+# headline shape): without them one hot dimension forces the whole
+# batch onto the 4x-cost top tier (33 vs 55 M/s measured).
+_FUSED_TIERS = ((64, 512, 64), (256, 2048, 128), (256, 2048, 256),
+                (512, 4096, 256), (1024, 4096, 512))
 
 # gather-fallback chunk: bounds the [CH, 128] row-gather transient
 _FUSED_FALLBACK_CHUNK = 1 << 20

@@ -209,6 +209,12 @@ def serve_sorted_call(qhi, qlo, midx, leaf_lo, row_lo, sub_lo,
             kern,
             out_shape=jax.ShapeDtypeStruct((nq // 128, 128), jnp.int32),
             grid_spec=grid_spec, interpret=use_interpret(),
+            # the largest tier's unrolled one-hot selects need ~31MB of
+            # Mosaic stack — over the 16MB default scoped-vmem limit
+            # (compile-time OOM at 200M keys); v5e has 128MB VMEM and
+            # the scratch windows take <5MB, so raise the cap
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(leaf_lo, row_lo, sub_lo,
           qhi.reshape(-1, 128), qlo.reshape(-1, 128),
           midx.reshape(-1, 128), rows_pad, level0)

@@ -36,6 +36,34 @@ def test_fast_search_exact(rng, spec, B):
     np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
 
 
+def test_fast_search_wide_packed_rows(rng):
+    # leaf spans ~6000 keys -> S~95 sample lanes -> ~190-lane packed
+    # rows: exercises the widened 256-lane cap (plans stay "packed"
+    # instead of falling to hier); the 128-lane sorted-batch kernels
+    # must decline these rows rather than misread them.
+    # ~4800-key average spans; the linear top's tail leaves run ~1.5x
+    # wider, so the max-span leaf needs S in (63, 127] sample lanes —
+    # firmly inside the widened (128, 256]-lane packed regime
+    keys = (np.arange(48000, dtype=np.uint64) * np.uint64(1 << 30)
+            + rng.integers(0, 1 << 20, 48000).astype(np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "linear,linear", 10)
+    from rmi_tpu.lookup_fast import packed_sample_lanes
+    S = packed_sample_lanes(res)
+    assert 63 < S <= 127, S      # the shape this test exists to cover
+    plan = get_plan(res)
+    assert plan.kind == "packed"
+    assert plan.rows_u32.shape[1] == 256   # wide rows pad to the cap
+    q = np.concatenate([keys[::7],
+                        rng.integers(0, 2**46, 5000, dtype=np.uint64),
+                        [np.uint64(0), keys[0], keys[-1]]])
+    idx = np.asarray(fast_search(res, jnp.asarray(q)))
+    np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+    from rmi_tpu import lookup_fast as lf
+    assert lf._sorted_kernel_search(res, plan, jnp.asarray(q)) is None
+    assert lf._sorted_kernel_search_fused(res, plan, jnp.asarray(q)) is None
+
+
 def test_fast_search_duplicates(rng):
     keys = np.sort(rng.integers(0, 400, size=9000, dtype=np.uint64)) * 3
     ds = RMIDataset.from_numpy(keys)
