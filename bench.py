@@ -114,7 +114,14 @@ def bench_families(keys, n2, nq, iters):
 
     keys2 = keys[:n2]
     ds2 = RMIDataset(keys=keys2, key_type=KeyType.U64)
-    keys_f = (keys2.astype(jnp.float64) * (1.0 / 512.0))
+    # f64 keys/queries are synthesized ON HOST: TPU's emulated-f64
+    # multiply yields values that differ from their own host round-trip
+    # for ~1/4000 elements (non-canonical two-limb encodings, measured
+    # via kf != device_put(np.asarray(kf))) — file-loaded keys are host
+    # bytes, so host synthesis is the representative regime.
+    import numpy as np
+    keys_f = jnp.asarray(np.asarray(keys2).astype(np.float64)
+                         * (1.0 / 512.0))
     ds_f = RMIDataset(keys=keys_f, key_type=KeyType.F64)
 
     # uniform IN-RANGE queries (the realistic lookup shape; nothing
@@ -122,7 +129,7 @@ def bench_families(keys, n2, nq, iters):
     qkey = jax.random.PRNGKey(11)
     q_u = jax.random.randint(qkey, (nq,), 0, int(keys2[-1]),
                              dtype=jnp.int64).astype(jnp.uint64)
-    q_f = q_u.astype(jnp.float64) * (1.0 / 512.0)
+    q_f = jnp.asarray(np.asarray(q_u).astype(np.float64) * (1.0 / 512.0))
 
     configs = [
         ("cubic,linear", 262144, ds2, q_u),

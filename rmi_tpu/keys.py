@@ -146,6 +146,81 @@ def as_float(keys):
     return keys.astype(jnp.float64)
 
 
+def _exp2i(k):
+    """EXACT 2.0**k for integer arrays k with |k| <= 1023.
+
+    jnp.exp2 is a libm approximation and lands ulps off even at
+    integer arguments, which breaks the exact-scaling argument below.
+    A product ladder of 2^(2^j) constants is exact: every factor and
+    every running product is a representable power of two (ascending-j
+    order keeps intermediates inside the normal range for |k| <= 1023).
+    """
+    mag = jnp.abs(k)
+    neg = k < 0
+    f = jnp.ones(k.shape, jnp.float64)
+    for j in range(10):
+        bit = (mag >> j) & 1
+        c = jnp.where(neg, 2.0 ** -(2 ** j), 2.0 ** (2 ** j))
+        f = f * jnp.where(bit == 1, c, 1.0)
+    return f
+
+
+def _pow2_scale(v, k):
+    """v * 2**k exact for integer k in [-2046, 2046], two factors so
+    each exponent stays inside the exact-ladder range."""
+    k2 = k // 2
+    k1 = k - k2
+    return v * _exp2i(k1) * _exp2i(k2)
+
+
+def _f64_magnitude_bits(a):
+    """IEEE-754 bit pattern of finite a >= 0, computed ARITHMETICALLY.
+
+    TPU's X64 rewriter has no 64-bit bitcast at all (f64 values ride
+    as u32 pairs whose concatenated bits are not exposed), so
+    lax.bitcast_convert_type(f64, u64) — and jnp.frexp, which lowers
+    through it — fail to compile (HTTP 500 from the remote compiler).
+    Power-of-two scaling is exact in IEEE arithmetic, so the bits can
+    be recovered instead: scale a into [2^52, 2^53) where f64 values
+    ARE their mantissa integer, convert to u64, and re-attach the
+    exponent.  The floor(log2) exponent guess is verified and fixed up
+    with exact comparisons, so boundary values (exact powers of two)
+    are handled.  Subnormals map to 0: XLA arithmetic flushes them
+    (DAZ/FTZ) — log2 sees them as 0 and every on-device compare
+    treats them as 0 — so the zero image IS the device's own ordering
+    of those values (numpy round-trip parity holds for all normals).
+    """
+    pos = a > 0.0
+    safe = jnp.where(pos, a, 1.0)
+    e0 = jnp.floor(jnp.log2(safe)).astype(jnp.int32)
+    e0 = jnp.clip(e0, -1074, 1023)
+
+    def mant_at(e):
+        return _pow2_scale(safe, 52 - e)
+
+    m0 = mant_at(e0)
+    e = jnp.where(m0 < 2.0 ** 52, e0 - 1,
+                  jnp.where(m0 >= 2.0 ** 53, e0 + 1, e0))
+    m = jnp.where(e == e0, m0, mant_at(e))
+    # f64 -> u64 convert of 2^52-magnitude values is off by +-1 for
+    # ~1/6000 values on TPU's emulated-f64 path (shape-dependent; the
+    # same convert is exact at small shapes) — split the mantissa into
+    # two 26-bit halves so every convert stays small-magnitude.  All
+    # splits are exact: m is integer-valued, power-of-two scaling and
+    # sub-2^53 integer add/sub round to themselves.
+    frac = m - 2.0 ** 52                   # [0, 2^52), integer-valued
+    hi26 = jnp.floor(frac * 2.0 ** -26)    # [0, 2^26)
+    lo26 = frac - hi26 * 2.0 ** 26         # [0, 2^26)
+    mant_frac = ((hi26.astype(jnp.uint64) << jnp.uint64(26))
+                 | lo26.astype(jnp.uint64))
+    bits_normal = (((e.astype(jnp.int64) + 1023).astype(jnp.uint64)
+                    << jnp.uint64(52)) | mant_frac)
+    bits = jnp.where(e >= -1022, bits_normal, jnp.uint64(0))
+    bits = jnp.where(jnp.isfinite(safe), bits,
+                     jnp.uint64(0x7FF0000000000000))      # +inf
+    return jnp.where(pos, bits, jnp.uint64(0))            # +-0.0 -> 0
+
+
 def ordered_u64(keys, key_type: KeyType):
     """Order-preserving u64 image of a key array.
 
@@ -156,14 +231,17 @@ def ordered_u64(keys, key_type: KeyType):
     with the same single-gather rows as integer keys.  -0.0 is
     normalized to +0.0 first (IEEE: they compare equal); NaN queries
     map to 0, matching std::lower_bound's first-element result when
-    every comparison is false.
+    every comparison is false.  The bit pattern is reconstructed
+    arithmetically (_f64_magnitude_bits) because TPU has no 64-bit
+    bitcast.
     """
     if not key_type.is_float:
         return keys.astype(jnp.uint64)
-    x = keys.astype(jnp.float64) + 0.0          # -0.0 -> +0.0
-    b = jax.lax.bitcast_convert_type(x, jnp.uint64)
-    neg = (b >> jnp.uint64(63)) == jnp.uint64(1)
-    mapped = jnp.where(neg, ~b, b | (jnp.uint64(1) << jnp.uint64(63)))
+    x = keys.astype(jnp.float64)
+    b = _f64_magnitude_bits(jnp.abs(x))
+    neg = x < 0.0
+    mapped = jnp.where(neg, ~(b | (jnp.uint64(1) << jnp.uint64(63))),
+                       b | (jnp.uint64(1) << jnp.uint64(63)))
     return jnp.where(jnp.isnan(x), jnp.uint64(0), mapped)
 
 
