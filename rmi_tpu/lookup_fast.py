@@ -234,10 +234,11 @@ def _scalar_top_monotone(rmi) -> bool:
     return bool((x_hi - mean) / stdev <= _PHI_U_MAX)
 
 
-@functools.partial(jax.jit, static_argnames=("S", "key_type"))
-def _pack_u32_rows(starts, next_idx, keys, *, S: int, key_type):
+@functools.partial(jax.jit, static_argnames=("S", "F", "key_type"))
+def _pack_u32_rows(starts, next_idx, keys, *, S: int, F: int = 1,
+                   key_type):
     """[B, 1+2S] u32 rows: L1 base | S sample HI words | S sample LO
-    words, samples = keys[64*(base+i)].
+    words, samples = keys[64*(base + i*F)].
 
     u64 arrays are emulated as u32 pairs on TPU, so a u64 row gather
     ISSUES TWICE; packing the halves into one u32 row keeps the leaf
@@ -247,10 +248,17 @@ def _pack_u32_rows(starts, next_idx, keys, *, S: int, key_type):
     lb(q) in [start_j, next_idx_j] — no error term involved.
     f64 keys enter through their order-preserving u64 image
     (keymod.ordered_u64), so the lane compares stay integer.
+
+    ``F`` is the sample spacing in 64-key stripes: F=1 gives the
+    2-gather plan (the window localizes lb to one stripe); F>1 gives
+    the 3-gather WIDE plan, which localizes lb to F stripes and
+    resolves the stripe with one extra mid-level row gather
+    (_fast_search_packed_wide).
     """
     n = keys.shape[0]
     base = starts.astype(jnp.int64) // 64
-    idx = base[:, None] * 64 + jnp.arange(S, dtype=jnp.int64)[None, :] * 64
+    idx = base[:, None] * 64 \
+        + jnp.arange(S, dtype=jnp.int64)[None, :] * (64 * F)
     valid = idx < n
     ki = keymod.ordered_u64(keys, key_type)
     samples = jnp.where(valid, ki[jnp.clip(idx, 0, n - 1)],
@@ -305,12 +313,38 @@ def _pad_tail_rows(a: jax.Array, lanes_to: int | None = None):
 
 
 def packed_sample_lanes(rmi) -> int:
-    """Required sample-lane count S for the packed plan (host int)."""
+    """Required sample-lane count S for the 2-gather packed plan
+    (host int; sample spacing F=1)."""
     starts, next_idx = _leaf_spans_host(rmi)
     lo = starts // 64
     # lanes S with 64*(lo + S - 1) >= next_idx
     s_req = -(-(next_idx - lo * 64) // 64) + 1
     return max(2, int(np.max(s_req)))
+
+
+# Max sample spacing (in stripes) of the wide plan.  The mid-level
+# count row covers 128 consecutive stripe-first keys from row
+# LB1 >> 6; with LB1 = base + (c1-1)*F <= lb1 <= LB1 + F the window is
+# valid iff lb1 - 64*(LB1>>6) <= F + 63 <= 127, i.e. F <= 64.
+_WIDE_MAX_STRIDE = 64
+
+
+def packed_plan_shape(rmi):
+    """(S, F) for the packed plan: sample-lane count and sample spacing
+    in 64-key stripes.  F == 1 -> 2-gather plan; 1 < F <= 64 ->
+    3-gather wide plan; None -> leaf spans too wide even at F=64
+    (> ~126*64*64 ≈ 516K keys per leaf) — caller falls back to the
+    hierarchical plan."""
+    s_max = packed_sample_lanes(rmi)
+    s_cap = (_PACKED_MAX_LANES - 1) // 2          # 127 sample lanes
+    if s_max <= s_cap:
+        return s_max, 1
+    F = 2
+    while F <= _WIDE_MAX_STRIDE and -(-(s_max - 1) // F) + 1 > s_cap:
+        F *= 2
+    if F > _WIDE_MAX_STRIDE:
+        return None
+    return -(-(s_max - 1) // F) + 1, F
 
 
 def _leaf_spans_host(rmi):
@@ -426,6 +460,65 @@ def _fast_search_packed(queries, top_params, rows_u32, off, s, level0,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("top_type", "B", "n", "key_type", "S", "F"))
+def _fast_search_packed_wide(queries, top_params, rows_u32, off, s,
+                             level1, level0, kmin_key, kmax_key, *,
+                             top_type, B, n, key_type, S, F):
+    """3-gather exact search for WIDE leaf spans: the leaf row's
+    samples are spaced F stripes apart (F <= 64), so the window count
+    localizes lb to F consecutive stripes instead of one; ONE extra
+    mid-level row gather over the stripe-first keys L1 = keys[::64]
+    (fused u32 hi/lo rows like level 0) resolves the exact stripe,
+    and the level-0 row finishes as in the 2-gather plan.
+
+    Correctness: for a monotone top, lb(q) in [start_j, next_idx_j]
+    (same argument as _fast_search_packed).  With c1 = #(samples < q),
+    lb1 := #(stripe-first keys < q) satisfies
+      base + (c1-1)*F < lb1 <= base + c1*F    (c1 >= 1; for c1 = 0,
+      base <= lb1 <= base since lb >= 64*base),
+    so the mid row at LB1 >> 6 with LB1 = base + (c1-1)*F covers lb1
+    for F <= 64 (lb1 - 64*(LB1>>6) <= F + 63 < 128), and finally
+    lb in (64*(lb1-1), 64*lb1], covered by level-0 row lb1 - 1.
+
+    This replaces the 4-gather hierarchical path for monotone tops
+    whose leaf spans exceed the 2-gather plan's ~8K-key window
+    (e.g. small branching factors on large arrays) up to ~516K-key
+    spans; serving is gather-issue-bound, so 3 gathers vs 4 plus the
+    skipped leaf-model eval is a ~1.5x throughput win.
+    """
+    mtop = get_model(top_type)
+    qr = jnp.clip(queries, kmin_key, kmax_key)   # monotone routing domain
+    xraw = keymod.as_float(qr)
+    xn = (xraw - off) * s
+    midx = predict_top_assignment(mtop, top_params, qr, xn, xraw,
+                                  B - 1)
+    rows = rows_u32[midx]                           # gather #1 (leaf row)
+    base = rows[:, 0].astype(jnp.int64)
+    qi = keymod.ordered_u64(queries, key_type)
+    qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)[:, None]
+    qlo = qi.astype(jnp.uint32)[:, None]
+    shi = rows[:, 1:1 + S]
+    slo = rows[:, 1 + S:1 + 2 * S]
+    lt = (shi < qhi) | ((shi == qhi) & (slo < qlo))
+    c1 = jnp.sum(lt, axis=1).astype(jnp.int64)
+    nrows0 = -(-n // STRIDE)                     # len(L1), static
+    LB1 = jnp.clip(base + (c1 - 1) * F, 0, nrows0)
+    r1 = jnp.clip(LB1 >> 6, 0, level1.shape[0] - 1)
+    blk1 = level1[r1]                               # gather #2 (mid level)
+    lt1 = (blk1[:, :WIDTH] < qhi) \
+        | ((blk1[:, :WIDTH] == qhi) & (blk1[:, WIDTH:] < qlo))
+    lb1 = jnp.minimum(r1 * STRIDE
+                      + jnp.sum(lt1, axis=1).astype(jnp.int64), nrows0)
+    row0 = jnp.clip(lb1 - 1, 0, level0.shape[0] - 1)
+    blk = level0[row0]                              # gather #3 (level 0)
+    blt = (blk[:, :WIDTH] < qhi) \
+        | ((blk[:, :WIDTH] == qhi) & (blk[:, WIDTH:] < qlo))
+    cnt = jnp.sum(blt, axis=1).astype(jnp.int64)
+    return jnp.minimum(row0 * STRIDE + cnt, n)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("top_type", "leaf_type", "B", "n", "key_type", "K",
                      "level_lens", "ppm"))
 def _fast_search_df64(queries, top_params, packed_rows, off, s,
@@ -485,8 +578,9 @@ def _fast_search(queries, top_params, packed_rows, off, s,
 
 
 def _try_packed_plan(rmi, max_err):
-    """Build the 2-gather packed plan when it applies (monotone top,
-    integer keys, per-leaf window fits the row)."""
+    """Build the packed plan when it applies (monotone top, per-leaf
+    window coverable at sample spacing F <= 64): 2-gather for F == 1,
+    3-gather wide for F > 1."""
     import os
     if os.environ.get("RMI_SERVE_PLAN") == "hier":
         return None
@@ -499,21 +593,30 @@ def _try_packed_plan(rmi, max_err):
         # int-routing tops (radix family, histogram) bit-slice integer
         # keys; float keys route through float-predicting tops only
         return None
-    S = packed_sample_lanes(rmi)
-    if 1 + 2 * S > _PACKED_MAX_LANES:
+    shape = packed_plan_shape(rmi)
+    if shape is None:
         return None
+    S, F = shape
+    if F > 1 and os.environ.get("RMI_SERVE_PLAN") == "packed":
+        return None          # force the 2-gather plan or nothing
     starts, next_idx = _leaf_spans_host(rmi)
     plan = SearchPlan.__new__(SearchPlan)
     plan.n = int(rmi.keys.shape[0])
     plan.max_err = max_err
-    plan.kind = "packed"
+    plan.kind = "packed" if F == 1 else "packed_wide"
     plan.S = S
+    plan.F = F
     plan.level0_pair = _pad_tail_rows(
         _fused_pair_rows(rmi.keys, rmi.key_type))
     plan.rows_u32 = _pad_tail_rows(_pack_u32_rows(
-        jnp.asarray(starts), jnp.asarray(next_idx), rmi.keys, S=S,
+        jnp.asarray(starts), jnp.asarray(next_idx), rmi.keys, S=S, F=F,
         key_type=rmi.key_type),
         lanes_to=128 if 1 + 2 * S <= 128 else _PACKED_MAX_LANES)
+    if F > 1:
+        # mid level: stripe-first keys L1 = keys[::64] as fused u32
+        # hi/lo rows (ceil(n/64) entries — ~1.6% of the key array)
+        plan.level1_pair = _pad_tail_rows(
+            _fused_pair_rows(rmi.keys[::STRIDE], rmi.key_type))
     return plan
 
 
@@ -868,6 +971,15 @@ def fast_search(rmi, queries):
                 rmi.keys[0], rmi.keys[-1],
                 top_type=rmi.top_type, B=rmi.branching_factor,
                 n=rmi.num_rmi_rows, key_type=rmi.key_type, S=plan.S)
+        if plan.kind == "packed_wide":
+            return _fast_search_packed_wide(
+                q, rmi.device_top_params, plan.rows_u32,
+                jnp.float64(rmi.norm_offset),
+                jnp.float64(rmi.norm_scale), plan.level1_pair,
+                plan.level0_pair, rmi.keys[0], rmi.keys[-1],
+                top_type=rmi.top_type, B=rmi.branching_factor,
+                n=rmi.num_rmi_rows, key_type=rmi.key_type, S=plan.S,
+                F=plan.F)
         if plan.packed_rows is None:
             # generic eval (covers int-output table leaves) + resolve
             from rmi_tpu.lookup import _eval

@@ -236,6 +236,26 @@ def grid_measurable(models: str) -> bool:
     return top in _B_GENERIC_TOPS and leaf in _B_GENERIC_LEAVES
 
 
+def _compile_threads(njobs: int) -> int:
+    """Concurrent-compile pool size for the grid sweep.
+
+    XLA compilation releases the GIL (on tunneled TPUs it is a remote
+    RPC), so compiling the independent grid programs from a thread pool
+    overlaps what is otherwise a serial ~minutes-per-program cold
+    start.  On CPU backends compilation is local and this host class is
+    single-core — threads would only add contention.  Override with
+    RMI_OPT_COMPILE_THREADS (0 disables).
+    """
+    import jax
+    env = os.environ.get("RMI_OPT_COMPILE_THREADS")
+    if env is not None:
+        n = int(env)
+        return max(1, n)
+    if jax.devices()[0].platform == "cpu":
+        return 1
+    return min(8, max(1, njobs))
+
+
 def grid_measure_rmis(data, pairs: Sequence[str], bfs: Sequence[int],
                       devices=None) -> dict:
     """Measure every (pair, branching factor) grid point with ONE
@@ -264,15 +284,39 @@ def grid_measure_rmis(data, pairs: Sequence[str], bfs: Sequence[int],
     else:
         replicas = [data]
 
-    pending = []
-    for i, models in enumerate(pairs):
-        top_t, leaf_t = models.split(",")
-        ds = replicas[i % len(replicas)]
-        for bucket, bs in _bucket_groups(bfs):
-            md = two_layer.metrics_grid_async(
-                ds.keys, ds.key_type, top_t, leaf_t, bs, bucket,
-                norm=norm)
-            pending.append((models, bs, md))
+    groups = _bucket_groups(bfs)
+    nthreads = _compile_threads(len(pairs) * len(groups))
+    if nthreads > 1:
+        # AOT path: lower every grid program on this thread (cheap),
+        # compile them CONCURRENTLY (each .compile() is a GIL-releasing
+        # XLA call — a remote RPC on tunneled TPUs), then dispatch the
+        # compiled executables.  The persistent compilation cache makes
+        # repeat sweeps skip this entirely.
+        import concurrent.futures as cf
+        prepped = []
+        for i, models in enumerate(pairs):
+            top_t, leaf_t = models.split(",")
+            ds = replicas[i % len(replicas)]
+            for bucket, bs in groups:
+                lowered, args = two_layer.metrics_grid_prepare(
+                    ds.keys, ds.key_type, top_t, leaf_t, bs, bucket,
+                    norm=norm)
+                prepped.append((models, bs, lowered, args))
+        with cf.ThreadPoolExecutor(max_workers=nthreads) as ex:
+            compiled = list(ex.map(lambda p: p[2].compile(), prepped))
+        pending = [(models, bs, comp(*args))
+                   for (models, bs, _, args), comp
+                   in zip(prepped, compiled)]
+    else:
+        pending = []
+        for i, models in enumerate(pairs):
+            top_t, leaf_t = models.split(",")
+            ds = replicas[i % len(replicas)]
+            for bucket, bs in groups:
+                md = two_layer.metrics_grid_async(
+                    ds.keys, ds.key_type, top_t, leaf_t, bs, bucket,
+                    norm=norm)
+                pending.append((models, bs, md))
 
     fetched = _fetch_host([md for _, _, md in pending])
 

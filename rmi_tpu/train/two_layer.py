@@ -599,13 +599,8 @@ def _metrics_grid_core(keys, kminf, s, b_arr, *, top_type: str,
     return jax.lax.map(one, b_arr)
 
 
-def metrics_grid_async(keys, key_type: KeyType, top_type: str,
-                       leaf_type: str, bs, bucket: int = None, norm=None):
-    """Dispatch a B-generic metrics grid (no host sync).
-
-    Returns the device-resident dict of [len(bs)]-stacked metrics;
-    fetch with jax.device_get (batched across pairs by the optimizer).
-    """
+def _metrics_grid_args(keys, key_type: KeyType, top_type: str,
+                       leaf_type: str, bs, bucket, norm):
     validate_spec([top_type, leaf_type])
     bs = [int(b) for b in bs]
     if bucket is None:
@@ -614,10 +609,40 @@ def metrics_grid_async(keys, key_type: KeyType, top_type: str,
         raise ValueError(f"bucket {bucket} < max branching factor {max(bs)}")
     kminf, s = norm_constants(keys, key_type) if norm is None else norm
     b_arr = jnp.asarray(bs, dtype=jnp.int32)
-    return _metrics_grid_core(
-        keys, jnp.float64(kminf), jnp.float64(s), b_arr,
-        top_type=top_type, leaf_type=leaf_type, B=int(bucket),
-        key_type=key_type)
+    args = (keys, jnp.float64(kminf), jnp.float64(s), b_arr)
+    statics = dict(top_type=top_type, leaf_type=leaf_type, B=int(bucket),
+                   key_type=key_type)
+    return args, statics
+
+
+def metrics_grid_async(keys, key_type: KeyType, top_type: str,
+                       leaf_type: str, bs, bucket: int = None, norm=None):
+    """Dispatch a B-generic metrics grid (no host sync).
+
+    Returns the device-resident dict of [len(bs)]-stacked metrics;
+    fetch with jax.device_get (batched across pairs by the optimizer).
+    """
+    args, statics = _metrics_grid_args(keys, key_type, top_type,
+                                       leaf_type, bs, bucket, norm)
+    return _metrics_grid_core(*args, **statics)
+
+
+def metrics_grid_prepare(keys, key_type: KeyType, top_type: str,
+                         leaf_type: str, bs, bucket: int = None,
+                         norm=None):
+    """AOT twin of metrics_grid_async: trace+lower now (cheap, host
+    Python), compile later — ``(lowered, args)`` where
+    ``lowered.compile()(*args)`` dispatches the grid.
+
+    The optimizer compiles many independent grid programs; lowering
+    them sequentially then calling ``.compile()`` from a thread pool
+    overlaps the expensive part (XLA compilation releases the GIL, and
+    on tunneled TPUs it is a remote RPC the host merely waits on),
+    collapsing the sweep's cold-start wall time.
+    """
+    args, statics = _metrics_grid_args(keys, key_type, top_type,
+                                       leaf_type, bs, bucket, norm)
+    return _metrics_grid_core.lower(*args, **statics), args
 
 
 def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,

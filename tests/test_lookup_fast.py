@@ -64,6 +64,89 @@ def test_fast_search_wide_packed_rows(rng):
     assert lf._sorted_kernel_search_fused(res, plan, jnp.asarray(q)) is None
 
 
+class TestWidePlan:
+    """3-gather wide packed plan (sample spacing F > 1 stripes): engages
+    for monotone tops whose leaf spans exceed the 2-gather window,
+    stays exact (incl. duplicates, out-of-range, f64), caps at F=64."""
+
+    def test_engages_and_exact(self, rng):
+        # ~12.5K-key spans -> s_req ~197 lanes -> F=2, S <= 127
+        keys = np.sort(rng.integers(0, 2**50, size=200_000,
+                                    dtype=np.uint64))
+        ds = RMIDataset.from_numpy(keys)
+        res = train(ds, "linear,linear", 16)
+        from rmi_tpu.lookup_fast import packed_plan_shape
+        S, F = packed_plan_shape(res)
+        assert F > 1 and 1 + 2 * S <= 256, (S, F)
+        plan = get_plan(res)
+        assert plan.kind == "packed_wide"
+        q = np.concatenate([keys[::11],
+                            rng.integers(0, 2**51, 6000, dtype=np.uint64),
+                            [np.uint64(0), keys[0], keys[-1],
+                             np.uint64(2**64 - 1)]])
+        idx = np.asarray(fast_search(res, jnp.asarray(q)))
+        np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+        # the public search() routes through it too
+        idx2 = np.asarray(search(res, jnp.asarray(q)))
+        np.testing.assert_array_equal(idx2, np.searchsorted(keys, q))
+
+    def test_duplicates_and_table_top(self, rng):
+        # duplicate-heavy data through a radix table top at tiny B
+        keys = np.sort(rng.integers(0, 3000, size=150_000,
+                                    dtype=np.uint64)) * 7
+        ds = RMIDataset.from_numpy(keys)
+        res = train(ds, "radix8,linear", 8)
+        plan = get_plan(res)
+        assert plan.kind == "packed_wide", plan.kind
+        q = np.arange(0, 22000, dtype=np.uint64)
+        idx = np.asarray(fast_search(res, jnp.asarray(q)))
+        np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+    def test_f64_wide(self, rng):
+        keys = np.sort(rng.uniform(-1e12, 1e15, size=120_000))
+        ds = RMIDataset.from_numpy(keys)
+        res = train(ds, "linear,linear", 8)
+        plan = get_plan(res)
+        assert plan.kind == "packed_wide", plan.kind
+        q = np.concatenate([keys[::9], rng.uniform(-1.1e12, 1.1e15, 5000),
+                            [-np.inf, np.inf, 0.0, -0.0]])
+        idx = np.asarray(fast_search(res, jnp.asarray(q)))
+        np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+    def test_span_past_stride_cap_falls_to_hier(self, rng):
+        # one leaf spanning the whole array: s_req > 127*64 -> no F <= 64
+        # works -> hierarchical plan
+        keys = np.sort(rng.integers(0, 2**50, size=700_000,
+                                    dtype=np.uint64))
+        ds = RMIDataset.from_numpy(keys)
+        res = train(ds, "linear,linear", 1)
+        from rmi_tpu.lookup_fast import packed_plan_shape
+        assert packed_plan_shape(res) is None
+        plan = get_plan(res)
+        assert plan.kind == "hier"
+        q = rng.integers(0, 2**51, 4000, dtype=np.uint64)
+        idx = np.asarray(fast_search(res, jnp.asarray(q)))
+        np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+
+    def test_sorted_paths_skip_wide(self, rng):
+        from rmi_tpu import lookup_fast as lf
+        keys = np.sort(rng.integers(0, 2**50, size=200_000,
+                                    dtype=np.uint64))
+        ds = RMIDataset.from_numpy(keys)
+        res = train(ds, "linear,linear", 16)
+        plan = get_plan(res)
+        assert plan.kind == "packed_wide"
+        q = np.sort(rng.integers(0, 2**51, size=1 << 15, dtype=np.uint64))
+        # sorted/sort-pipeline entry points must fall through to the
+        # (exact) gather path rather than feed wide rows to the kernels
+        np.testing.assert_array_equal(
+            np.asarray(lf.fast_search_sorted(res, jnp.asarray(q))),
+            np.searchsorted(keys, q))
+        np.testing.assert_array_equal(
+            np.asarray(lf.fast_search_via_sort(res, jnp.asarray(q))),
+            np.searchsorted(keys, q))
+
+
 def test_fast_search_duplicates(rng):
     keys = np.sort(rng.integers(0, 400, size=9000, dtype=np.uint64)) * 3
     ds = RMIDataset.from_numpy(keys)
@@ -82,8 +165,10 @@ def test_fast_search_f64(rng):
     np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
 
 
-def test_multi_level_plan(rng):
-    """Force a large max_err so K >= 2 levels engage."""
+def test_multi_level_plan(rng, monkeypatch):
+    """Force a large max_err so K >= 2 levels engage (the packed/wide
+    plans would otherwise cover this shape — pin the hier path)."""
+    monkeypatch.setenv("RMI_SERVE_PLAN", "hier")
     # heavily clustered data makes linear tops awful
     centers = rng.integers(0, 2**50, size=4, dtype=np.uint64)
     keys = np.sort(np.concatenate(

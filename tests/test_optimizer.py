@@ -180,6 +180,30 @@ def test_bucketed_front_matches_legacy(monkeypatch, rng):
                                    b.average_log2_error, rtol=2e-3)
 
 
+def test_grid_measure_threaded_compile(monkeypatch, rng):
+    """The AOT concurrent-compile path (RMI_OPT_COMPILE_THREADS > 1)
+    must produce the same grid measurements as the inline-dispatch
+    path."""
+    from rmi_tpu import optimizer
+    from rmi_tpu.data import RMIDataset
+    keys = np.sort(rng.integers(0, 2**40, size=3000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    pairs = ["cubic,linear", "linear,linear_spline"]
+    bfs = [16, 128]
+
+    monkeypatch.setenv("RMI_OPT_COMPILE_THREADS", "1")
+    inline = optimizer.grid_measure_rmis(ds, pairs, bfs)
+    monkeypatch.setenv("RMI_OPT_COMPILE_THREADS", "2")
+    threaded = optimizer.grid_measure_rmis(ds, pairs, bfs)
+
+    assert set(inline) == set(threaded)
+    for k in inline:
+        assert inline[k].size == threaded[k].size
+        np.testing.assert_allclose(inline[k].average_log2_error,
+                                   threaded[k].average_log2_error,
+                                   rtol=1e-12)
+
+
 def test_grid_measure_single_fetch(monkeypatch, rng):
     """The whole grid (every pair x every branching factor) must reach
     the host in ONE batched transfer."""
