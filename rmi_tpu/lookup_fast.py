@@ -705,7 +705,10 @@ def _sorted_kernel_search(rmi, plan, queries):
     B = rmi.branching_factor
     B_pad = plan.rows_u32.shape[0]
     if (B_pad < ssk.W_LEAF_TIERS[0] or nrows0_pad < ssk.W0_TIERS[-1]
-            or n >= 2**31 - 64 or plan.rows_u32.shape[1] != 128):
+            or n >= 2**31 - 64 or plan.rows_u32.shape[1] != 128
+            or getattr(plan, "F", 1) != 1):
+        # v1 assumes F == 1 (row0 = base + c1 - 1); wide plans take the
+        # direct-count kernel instead
         return None
     nq = queries.shape[0]
     pad = (-nq) % ssk.KQ
@@ -759,21 +762,37 @@ def _sorted_kernel_search(rmi, plan, queries):
     return lb[:nq].astype(jnp.int64)
 
 
+def _sorted_dispatch(rmi, plan, queries):
+    """Route a sorted batch to the right window kernel: the direct-
+    count kernel covers every packed plan (wide included); the v1
+    leaf-row kernel serves 2-gather plans when selected.  Returns None
+    when no kernel applies (caller falls back to gathers)."""
+    mode = _sorted_kernel_mode()
+    v1_capable = (getattr(plan, "F", 1) == 1
+                  and plan.rows_u32.shape[1] == 128)
+    if mode == "legacy":
+        if not v1_capable:
+            return None
+    elif mode == "direct" or not v1_capable:
+        return _sorted_kernel_search_direct(rmi, plan, queries)
+    if _fused_enabled():
+        return _sorted_kernel_search_fused(rmi, plan, queries)
+    return _sorted_kernel_search(rmi, plan, queries)
+
+
 def fast_search_sorted(rmi, queries):
     """Exact lower bounds for a NON-DECREASING query batch.
 
-    Uses the gather-free window kernel when the batch is dense enough
+    Uses a gather-free window kernel when the batch is dense enough
     for its DMA windows (the usual bulk-lookup shape); falls back to
     the per-query gather path otherwise.  Callers with unsorted
     batches: ``fast_search_via_sort`` packages the argsort + inverse
     permutation trade."""
     plan = get_plan(rmi)
     queries = jnp.asarray(queries)
-    if plan.kind == "packed" and queries.shape[0] >= 1 << 14:
-        if _fused_enabled():
-            out = _sorted_kernel_search_fused(rmi, plan, queries)
-        else:
-            out = _sorted_kernel_search(rmi, plan, queries)
+    if (plan.kind in ("packed", "packed_wide")
+            and queries.shape[0] >= 1 << 14):
+        out = _sorted_dispatch(rmi, plan, queries)
         if out is not None:
             return out
     return fast_search(rmi, queries)
@@ -890,6 +909,172 @@ def _fused_enabled() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# direct-count sorted search: stripe counts in-window, leaf-width-free
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("top_type", "B", "S", "F",
+                                             "key_type"))
+def _sorted_stats_direct(queries, top_params, rows_u32, off, s,
+                         kmin_key, kmax_key, *, top_type, B, S, F,
+                         key_type):
+    """Per-subgroup window anchors for the direct-count kernel.
+
+    Each subgroup's BOUNDARY queries localize their stripe lower bound
+    through the leaf sample row: LB1 <= lb1 <= LB1 + F.  lb1 is
+    monotone over a sorted batch, so every query in the subgroup has
+      lb1 in [lb1_first, lb1_last] ⊆ [LB1_first, LB1_last + F],
+    giving a window anchor (LB1_first) and span bound per subgroup from
+    just 2 row gathers per 128 queries."""
+    from rmi_tpu.ops.sorted_serve_kernel import KQ, SUBQ
+    mtop = get_model(top_type)
+    qr = jnp.clip(queries, kmin_key, kmax_key)
+    xraw = keymod.as_float(qr)
+    xn = (xraw - off) * s
+    midx = predict_top_assignment(mtop, top_params, qr, xn, xraw,
+                                  B - 1).astype(jnp.int32)
+    qi = keymod.ordered_u64(queries, key_type)
+
+    def LB1_of(sel):
+        rows = rows_u32[midx[sel]]
+        base = rows[:, 0].astype(jnp.int32)
+        qb = qi[sel]
+        qhi = (qb >> jnp.uint64(32)).astype(jnp.uint32)[:, None]
+        qlo = qb.astype(jnp.uint32)[:, None]
+        shi = rows[:, 1:1 + S]
+        slo_ = rows[:, 1 + S:1 + 2 * S]
+        lt = (shi < qhi) | ((shi == qhi) & (slo_ < qlo))
+        c1 = jnp.sum(lt, axis=1).astype(jnp.int32)
+        return base + (c1 - 1) * F
+
+    first = jnp.arange(0, queries.shape[0], SUBQ, dtype=jnp.int32)
+    LB1_f = LB1_of(first)
+    LB1_l = LB1_of(first + (SUBQ - 1))
+    nsub = KQ // SUBQ
+    sub_span = LB1_l - LB1_f + (F + 2)
+    blk_span = LB1_l[nsub - 1::nsub] - LB1_f[::nsub] + (F + 2)
+    maxes = jnp.stack([jnp.max(sub_span), jnp.max(blk_span)])
+    return LB1_f, maxes
+
+
+@functools.partial(jax.jit, static_argnames=("nrows0_pad", "W0",
+                                             "W_sub"))
+def _sorted_offsets_direct(LB1_f, *, nrows0_pad, W0, W_sub):
+    """Window offsets for the direct-count kernel.
+
+    The subgroup window must start at or below max(lb1_min - 1, 0) and
+    reach lb1_max: the -2 absorbs the -1 anchor plus boundary-LB1
+    slack; the kernel's floor-to-8 and this floor are covered by the
+    +8 margin in the tier fits check.  Lower-clipping a subgroup to its
+    block start stays valid because lb1 is monotone across the block
+    (blk_lo <= LB1_first(block) - 2 <= lb1_min(sub) - 2)."""
+    from rmi_tpu.ops.sorted_serve_kernel import KQ, SUBQ
+    nsub = KQ // SUBQ
+    blk_lo = (jnp.clip(LB1_f[::nsub] - 2, 0,
+                       max(nrows0_pad - W0, 0)) // 8) * 8
+    blk_rep = jnp.repeat(blk_lo, nsub)
+    sub_lo = jnp.clip(LB1_f - 2, blk_rep, blk_rep + (W0 - W_sub))
+    return blk_lo.astype(jnp.int32), sub_lo.astype(jnp.int32)
+
+
+# (W0, W_sub) tier lattice of the direct kernel — 2-D (no leaf-row
+# dimension), cost-ordered: W0 drives the block DMA, W_sub the
+# per-subgroup count + select work.
+_DIRECT_TIERS = ((512, 64), (2048, 128), (2048, 256), (4096, 256),
+                 (4096, 512))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "top_type", "B", "S", "F", "key_type", "n", "nrows0_pad", "tiers"))
+def _sorted_fused_core_direct(queries, top_params, rows_u32, level1,
+                              level0, off, s, kmin_key, kmax_key, *,
+                              top_type, B, S, F, key_type, n,
+                              nrows0_pad, tiers):
+    """Direct-count twin of _sorted_fused_core: ONE device program,
+    traced lax.switch over (W0, W_sub) tiers, chunked gather fallback
+    (packed for F == 1, packed-wide otherwise) — works for ANY leaf
+    width, including wide plans the v1 kernel declines."""
+    from rmi_tpu.ops import sorted_serve_kernel as ssk
+    nq = queries.shape[0]
+    nrows0 = max(1, -(-n // STRIDE))
+    LB1_f, maxes = _sorted_stats_direct(
+        queries, top_params, rows_u32, off, s, kmin_key, kmax_key,
+        top_type=top_type, B=B, S=S, F=F, key_type=key_type)
+    qi = keymod.ordered_u64(queries, key_type)
+    qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)
+    qlo = qi.astype(jnp.uint32)
+
+    def tier_branch(W0, Ws):
+        def br():
+            blk_lo, sub_lo = _sorted_offsets_direct(
+                LB1_f, nrows0_pad=nrows0_pad, W0=W0, W_sub=Ws)
+            out = ssk.serve_sorted_direct_call(
+                qhi, qlo, blk_lo, sub_lo, level0, nrows0=nrows0, n=n,
+                W0=W0, W_sub=Ws)
+            return out.reshape(-1)
+        return br
+
+    def fallback():
+        CH = _FUSED_FALLBACK_CHUNK
+        pad2 = (-nq) % CH
+        qp = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[-1:], (pad2,))]) \
+            if pad2 else queries
+        if F == 1:
+            fn = lambda qc: _fast_search_packed(           # noqa: E731
+                qc, top_params, rows_u32, off, s, level0, kmin_key,
+                kmax_key, top_type=top_type, B=B, n=n,
+                key_type=key_type, S=S)
+        else:
+            fn = lambda qc: _fast_search_packed_wide(      # noqa: E731
+                qc, top_params, rows_u32, off, s, level1, level0,
+                kmin_key, kmax_key, top_type=top_type, B=B, n=n,
+                key_type=key_type, S=S, F=F)
+        outs = jax.lax.map(fn, qp.reshape(-1, CH))
+        return outs.reshape(-1)[:nq].astype(jnp.int32)
+
+    # +8 margin: offsets and the kernel floor to sublane-tile multiples
+    fits = [(maxes[0] + 8 <= Ws) & (maxes[1] + 8 <= W0)
+            for (W0, Ws) in tiers]
+    idx = jnp.int32(len(tiers))
+    for i in reversed(range(len(tiers))):
+        idx = jnp.where(fits[i], jnp.int32(i), idx)
+    branches = [tier_branch(*t) for t in tiers] + [fallback]
+    return jax.lax.switch(idx, branches)
+
+
+def _sorted_kernel_mode() -> str:
+    """RMI_SORTED_KERNEL: 'auto' (direct for wide plans, v1 for
+    2-gather plans), 'direct', or 'legacy'."""
+    import os
+    return os.environ.get("RMI_SORTED_KERNEL", "auto")
+
+
+def _sorted_kernel_search_direct(rmi, plan, queries):
+    """Fused direct-count search for a sorted batch; None when the
+    plan's geometry rules it out entirely."""
+    from rmi_tpu.ops import sorted_serve_kernel as ssk
+    n = plan.n
+    nrows0_pad = plan.level0_pair.shape[0]
+    tiers = tuple(t for t in _DIRECT_TIERS if t[0] <= nrows0_pad)
+    if not tiers or n >= 2**31 - 64:
+        return None
+    nq = queries.shape[0]
+    pad = (-nq) % ssk.KQ
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[-1:], (pad,))])
+    F = getattr(plan, "F", 1)
+    level1 = plan.level1_pair if F > 1 else plan.level0_pair
+    out = _sorted_fused_core_direct(
+        queries, rmi.device_top_params, plan.rows_u32, level1,
+        plan.level0_pair, jnp.float64(rmi.norm_offset),
+        jnp.float64(rmi.norm_scale), rmi.keys[0], rmi.keys[-1],
+        top_type=rmi.top_type, B=rmi.branching_factor, S=plan.S, F=F,
+        key_type=rmi.key_type, n=n, nrows0_pad=nrows0_pad, tiers=tiers)
+    return out[:nq].astype(jnp.int64)
+
+
+# ---------------------------------------------------------------------------
 # random-batch serving through the sorted kernel: sort -> serve -> unsort
 # ---------------------------------------------------------------------------
 
@@ -928,8 +1113,11 @@ def fast_search_via_sort(rmi, queries):
     multi_dev = (sharding is not None
                  and len(sharding.device_set) > 1
                  and not sharding.is_fully_replicated)
-    if (plan.kind != "packed" or nq >= 2**31 or 4 * nq < 3 * nrows0
-            or plan.rows_u32.shape[1] != 128  # wide rows: kernel declines
+    v1_capable = (getattr(plan, "F", 1) == 1
+                  and plan.rows_u32.shape[1] == 128)
+    if (plan.kind not in ("packed", "packed_wide")
+            or nq >= 2**31 or 4 * nq < 3 * nrows0
+            or (not v1_capable and _sorted_kernel_mode() == "legacy")
             or multi_dev   # a global sort would ride collectives;
                            # sharded batches use parallel.serve's
                            # per-shard sorted pipeline instead
@@ -939,10 +1127,7 @@ def fast_search_via_sort(rmi, queries):
         # probe on every call (the gather path is the right shape)
         return fast_search(rmi, queries)
     qs, order = _sort_with_order(queries)
-    if _fused_enabled():
-        lb = _sorted_kernel_search_fused(rmi, plan, qs)
-    else:
-        lb = _sorted_kernel_search(rmi, plan, qs)
+    lb = _sorted_dispatch(rmi, plan, qs)
     if lb is None:
         plan._sort_serve_veto = getattr(plan, "_sort_serve_veto", 0) + 1
         return fast_search(rmi, queries)

@@ -175,6 +175,122 @@ def _serve_sorted_kernel(leaf_lo_ref, row_lo_ref, sub_lo_ref,
         out_ref[pl.ds(sub, 1), :] = lb
 
 
+# ---------------------------------------------------------------------------
+# direct-count kernel (v2): lb1 by stripe-first column count, no leaf rows
+# ---------------------------------------------------------------------------
+
+def _serve_sorted_direct_kernel(row_lo_ref, sub_lo_ref, qhi_ref, qlo_ref,
+                                lvl0_ref, out_ref, w0_ref, sem, *,
+                                nrows0: int, n: int, W0: int,
+                                W_sub: int):
+    """Exact lower bounds for one 2048-query sorted block WITHOUT leaf
+    rows: the stripe index lb1(q) = #(stripe-first keys < q) is counted
+    DIRECTLY over the subgroup's level-0 window (lane 0 of each stripe
+    row is that stripe's first key), then the stripe row finishes with
+    the usual 64-key count.
+
+    This replaces the v1 kernel's leaf-row DMA + S per-query sample
+    compares with one [W_sub, 128] broadcast compare per subgroup —
+    valid for ANY leaf width (wide plans included), with a 2-D
+    (W0, W_sub) tier lattice instead of v1's coupled 3-D one.
+    Correctness needs the host-side offsets to guarantee, per subgroup,
+      slo <= max(lb1_min - 1, 0)   and   lb1_max <= slo + W_sub
+    (lookup_fast._sorted_offsets_direct derives both from the
+    boundary queries' leaf-row localization LB1 <= lb1 <= LB1 + F).
+    """
+    g = pl.program_id(0)
+    SUB = KQ // 128
+
+    lo0 = (row_lo_ref[g] // 8) * 8        # in [0, nrows0_pad - W0]
+    cp = pltpu.make_async_copy(
+        lvl0_ref.at[pl.ds(lo0, W0), :], w0_ref, sem)
+    cp.start()
+    q3, q2 = _chunks_f32(qhi_ref[:])
+    q1, q0 = _chunks_f32(qlo_ref[:])
+    cp.wait()
+
+    for sub in range(NSUB):
+        slo = sub_lo_ref[g * NSUB + sub]
+        r0 = slo - lo0
+        r0 = (r0 // 8) * 8                 # Mosaic sublane alignment
+        slo = lo0 + r0
+        win = w0_ref[pl.ds(r0, W_sub)]     # [W_sub, 256] u32
+        # stripe-first column: lane 0 of the hi half / lane 128 of lo
+        colh = win[:, 0:1]
+        coll = win[:, 128:129]
+        c3, c2 = _chunks_f32(colh)
+        c1_, c0_ = _chunks_f32(coll)
+        lt1 = _lex_lt(c3, c2, c1_, c0_,
+                      q3[sub:sub + 1], q2[sub:sub + 1],
+                      q1[sub:sub + 1], q0[sub:sub + 1])  # [W_sub, 128]
+        s = jnp.sum(lt1.astype(jnp.int32), axis=0,
+                    keepdims=True)                        # [1, 128]
+        lb1 = slo + s                      # exact: window covers lb1
+        tl0 = jnp.clip(jnp.maximum(lb1 - 1, 0) - slo, 0, W_sub - 1)
+        srow = slo + tl0                   # the row actually read
+
+        winh = win[:, :64]
+        winl = win[:, 128:192]
+        k3, k2 = _chunks_f32(winh)
+        k1, k0 = _chunks_f32(winl)
+        onehotT = (jax.lax.broadcasted_iota(
+            jnp.int32, (W_sub, 1, 128), 0)
+            == tl0[None, :, :]).astype(jnp.float32)
+
+        def sel64(kc):
+            r3 = jax.lax.dot_general(
+                jnp.transpose(kc, (1, 0)), onehotT,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # [64, 1, 128]
+            return r3.reshape(64, 128)
+
+        s3, s2, s1, s0 = sel64(k3), sel64(k2), sel64(k1), sel64(k0)
+        lt = _lex_lt(s3, s2, s1, s0,
+                     q3[sub:sub + 1], q2[sub:sub + 1],
+                     q1[sub:sub + 1], q0[sub:sub + 1])
+        cnt = jnp.sum(lt.astype(jnp.int32), axis=0,
+                      keepdims=True)                   # [1, 128]
+        lb = jnp.minimum(srow * 64 + cnt, jnp.int32(n))
+        out_ref[pl.ds(sub, 1), :] = lb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nrows0", "n", "W0", "W_sub"))
+def serve_sorted_direct_call(qhi, qlo, row_lo, sub_lo, level0, *,
+                             nrows0, n, W0, W_sub):
+    """Direct-count sorted serve: q planes length must be a KQ
+    multiple.  Returns [nq] i32 exact lower bounds."""
+    nq = qhi.shape[0]
+    nblocks = nq // KQ
+    SUB = KQ // 128
+    kern = functools.partial(
+        _serve_sorted_direct_kernel, nrows0=nrows0, n=n, W0=W0,
+        W_sub=W_sub)
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec((SUB, 128), lambda g, *_: (g, 0),
+                                   memory_space=pltpu.VMEM)] * 2 +
+                     [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((SUB, 128), lambda g, *_: (g, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((W0, 256), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+            ])
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((nq // 128, 128), jnp.int32),
+            grid_spec=grid_spec, interpret=use_interpret(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(row_lo, sub_lo,
+          qhi.reshape(-1, 128), qlo.reshape(-1, 128), level0)
+    return out.reshape(-1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("S", "B", "nrows0", "n", "W_leaf", "W0",
                               "W_sub"))

@@ -128,7 +128,10 @@ class TestWidePlan:
         idx = np.asarray(fast_search(res, jnp.asarray(q)))
         np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
 
-    def test_sorted_paths_skip_wide(self, rng):
+    def test_sorted_paths_wide(self, rng, monkeypatch):
+        """Sorted/sort-pipeline entry points on a WIDE plan: the
+        direct-count kernel serves it in auto mode; legacy mode must
+        fall through to the (exact) gather path."""
         from rmi_tpu import lookup_fast as lf
         keys = np.sort(rng.integers(0, 2**50, size=200_000,
                                     dtype=np.uint64))
@@ -137,15 +140,20 @@ class TestWidePlan:
         plan = get_plan(res)
         assert plan.kind == "packed_wide"
         q = np.sort(rng.integers(0, 2**51, size=1 << 15, dtype=np.uint64))
-        # sorted/sort-pipeline entry points must fall through to the
-        # (exact) gather path rather than feed wide rows to the kernels
-        np.testing.assert_array_equal(
-            np.asarray(lf.fast_search_sorted(res, jnp.asarray(q))),
-            np.searchsorted(keys, q))
-        np.testing.assert_array_equal(
-            np.asarray(lf.fast_search_via_sort(res, jnp.asarray(q))),
-            np.searchsorted(keys, q))
-
+        want = np.searchsorted(keys, q)
+        for mode in ("auto", "legacy", "direct"):
+            monkeypatch.setenv("RMI_SORTED_KERNEL", mode)
+            plan._sort_serve_veto = 0
+            np.testing.assert_array_equal(
+                np.asarray(lf.fast_search_sorted(res, jnp.asarray(q))),
+                want, err_msg=mode)
+            np.testing.assert_array_equal(
+                np.asarray(lf.fast_search_via_sort(res, jnp.asarray(q))),
+                want, err_msg=mode)
+        monkeypatch.setenv("RMI_SORTED_KERNEL", "auto")
+        out = lf._sorted_kernel_search_direct(res, plan, jnp.asarray(q))
+        assert out is not None
+        np.testing.assert_array_equal(np.asarray(out), want)
 
 def test_fast_search_duplicates(rng):
     keys = np.sort(rng.integers(0, 400, size=9000, dtype=np.uint64)) * 3
@@ -382,6 +390,36 @@ class TestSortedServe:
             assert out is not None
             np.testing.assert_array_equal(
                 np.asarray(out), np.searchsorted(keys, q, side="left"))
+
+    def test_direct_kernel_narrow_plan(self, rng, monkeypatch):
+        """RMI_SORTED_KERNEL=direct must serve 2-gather plans exactly
+        too (dense tier branch AND sparse fallback branch)."""
+        from rmi_tpu import lookup_fast as lf
+        keys, res = self._mkindex(rng)
+        plan = get_plan(res)
+        assert plan.kind == "packed"
+        monkeypatch.setenv("RMI_SORTED_KERNEL", "direct")
+        for nq in (1 << 15, 2048):      # dense -> tier, sparse -> fallback
+            q = np.sort(rng.integers(0, 2**56, size=nq, dtype=np.uint64))
+            q[:4] = 0
+            q[-4:] = 2**56 - 1
+            q = np.sort(q)
+            out = lf._sorted_kernel_search_direct(res, plan,
+                                                  jnp.asarray(q))
+            assert out is not None
+            np.testing.assert_array_equal(
+                np.asarray(out), np.searchsorted(keys, q, side="left"))
+
+    def test_direct_kernel_f64(self, rng, monkeypatch):
+        from rmi_tpu import lookup_fast as lf
+        monkeypatch.setenv("RMI_SORTED_KERNEL", "direct")
+        keys = np.sort(rng.uniform(-1e9, 1e9, size=400_000))
+        ds = RMIDataset.from_numpy(keys)
+        res = train(ds, "cubic,linear", 1024)
+        q = np.sort(rng.uniform(-1.1e9, 1.1e9, size=1 << 15))
+        out = lf.fast_search_sorted(res, jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(out), np.searchsorted(keys, q, side="left"))
 
     def test_via_sort_random_batch(self, rng, monkeypatch):
         """sort -> sorted kernel -> unsort must be exact for an
