@@ -773,11 +773,10 @@ def _sorted_dispatch(rmi, plan, queries):
     if mode == "legacy":
         if not v1_capable:
             return None
-    elif mode == "direct" or not v1_capable:
-        return _sorted_kernel_search_direct(rmi, plan, queries)
-    if _fused_enabled():
-        return _sorted_kernel_search_fused(rmi, plan, queries)
-    return _sorted_kernel_search(rmi, plan, queries)
+        if _fused_enabled():
+            return _sorted_kernel_search_fused(rmi, plan, queries)
+        return _sorted_kernel_search(rmi, plan, queries)
+    return _sorted_kernel_search_direct(rmi, plan, queries)
 
 
 def fast_search_sorted(rmi, queries):
@@ -1043,8 +1042,14 @@ def _sorted_fused_core_direct(queries, top_params, rows_u32, level1,
 
 
 def _sorted_kernel_mode() -> str:
-    """RMI_SORTED_KERNEL: 'auto' (direct for wide plans, v1 for
-    2-gather plans), 'direct', or 'legacy'."""
+    """RMI_SORTED_KERNEL: 'auto' (= direct everywhere), 'direct', or
+    'legacy' (the v1 leaf-row kernel, 2-gather plans only).
+
+    On-device A/B at 25M (probes/probe_kernel_ab.py, sorted 4M
+    batches): direct 244 vs v1 166 M/s on cubic,linear 262144, tie
+    (244 vs 249) on linear_spline,linear 65536 — the direct kernel's
+    level-0 counting avoids the leaf-row DMA that dominates at large
+    B, so 'auto' now routes every plan to it."""
     import os
     return os.environ.get("RMI_SORTED_KERNEL", "auto")
 
