@@ -131,8 +131,15 @@ def bench_families(keys, n2, nq, iters):
                              dtype=jnp.int64).astype(jnp.uint64)
     q_f = jnp.asarray(np.asarray(q_u).astype(np.float64) * (1.0 / 512.0))
 
+    # books u32 (BASELINE.md exercise list: linear,linear 100): the u64
+    # keys' top 32 bits — same CDF shape, duplicate-bearing at 200M
+    keys_u32 = (keys2 >> jnp.uint64(32)).astype(jnp.uint32)
+    ds_u32 = RMIDataset(keys=keys_u32, key_type=KeyType.U32)
+    q_u32 = (q_u >> jnp.uint64(32)).astype(jnp.uint32)
+
     configs = [
         ("cubic,linear", 262144, ds2, q_u),
+        ("linear,linear u32", 100, ds_u32, q_u32),
         ("linear,linear", 4096, ds2, q_u),
         ("linear_spline,linear", 65536, ds2, q_u),
         ("robust_linear,cubic", 65536, ds2, q_u),
@@ -184,6 +191,27 @@ def bench_families(keys, n2, nq, iters):
         except Exception as e:  # noqa: BLE001 — record and continue
             table[label] = {"error": f"{type(e).__name__}: {str(e)[:90]}"}
         log(f"family {label}: {table[label]}")
+    return table
+
+
+def bench_latency(res, keys, iters):
+    """Per-batch latency/throughput at 1K..4M queries (the reference's
+    serving shape is a ~100ns scalar call, codegen.rs:612-718; this
+    records where batch dispatch amortizes on the tunneled chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    qkey = jax.random.PRNGKey(13)
+    table = {}
+    for nq in (1 << 10, 1 << 14, 1 << 18, 1 << 20, 1 << 22):
+        q = jax.random.randint(qkey, (nq,), 0, int(keys[-1]),
+                               dtype=jnp.int64).astype(jnp.uint64)
+        rate = measure_search(res, q, iters)
+        table[str(nq)] = {
+            "batch_ms": round(nq / rate * 1e3, 3),
+            "mps": round(rate / 1e6, 2),
+        }
+        log(f"latency {nq}: {table[str(nq)]}")
     return table
 
 
@@ -319,6 +347,10 @@ def run(n, t_start):
             except Exception as e:  # noqa: BLE001
                 extras[f"{espec}_{ebr}"] = {"error": str(e)[:80]}
         out["extras"] = extras
+
+    # batch-size latency curve (RESULTS.md serving-latency table)
+    if os.environ.get("RMI_BENCH_LATENCY") == "1":
+        out["latency"] = bench_latency(res, keys, iters)
 
     # per-family build+serve audit (serving-breadth table in RESULTS.md)
     if os.environ.get("RMI_BENCH_FAMILIES") == "1":

@@ -6,7 +6,9 @@ set -euo pipefail
 cd "$(dirname "$0")"
 
 make -C native
-python -m pytest tests/ -q
+# fail fast: the ~3-min bound-contract core before the full suite
+python -m pytest tests/ -q -m quick
+python -m pytest tests/ -q -m "not quick"
 RMI_BENCH_N=200000 RMI_BENCH_QUERIES=65536 RMI_BENCH_ITERS=3 \
     JAX_PLATFORMS=cpu python bench.py
 echo "CI OK"

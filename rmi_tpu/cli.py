@@ -85,7 +85,11 @@ def _result_json(trained, num_rows, namespace):
 
 def main(argv=None) -> int:
     logging.basicConfig(
-        level=os.environ.get("RMI_LOG", "INFO").upper(),
+        # RMI_LOG is a Python logging level name (DEBUG/INFO/...);
+        # accept "1" as a convenience alias for DEBUG.
+        level={"1": "DEBUG", "0": "WARNING"}.get(
+            os.environ.get("RMI_LOG", "INFO"),
+            os.environ.get("RMI_LOG", "INFO")).upper(),
         format="%(levelname)s %(name)s: %(message)s")
     args = build_parser().parse_args(argv)
 

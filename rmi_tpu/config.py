@@ -31,4 +31,9 @@ if not os.environ.get("RMI_NO_COMPILE_CACHE"):
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", _default_cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist even sub-second compiles: on the tunneled TPU a "fast"
+    # compile is still a remote RPC whose latency varies with compiler
+    # load by orders of magnitude (the round-2 driver bench lost ~100s
+    # to re-compiling small programs) — cache everything
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -647,138 +647,6 @@ def get_plan(rmi) -> SearchPlan:
 # sorted-batch serving (gather-free; ops/sorted_serve_kernel.py)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("top_type", "B", "S",
-                                             "key_type"))
-def _sorted_stats(queries, top_params, rows_u32, off, s, kmin_key,
-                  kmax_key, *, top_type, B, S, key_type):
-    """Routing + window statistics for a sorted batch: per-query leaf
-    ids, per-subgroup first/last stripe bases, and the max windows the
-    kernel would need (host fetches the maxes to pick tiers)."""
-    from rmi_tpu.ops.sorted_serve_kernel import KQ, SUBQ
-    mtop = get_model(top_type)
-    qr = jnp.clip(queries, kmin_key, kmax_key)
-    xraw = keymod.as_float(qr)
-    xn = (xraw - off) * s
-    midx = predict_top_assignment(mtop, top_params, qr, xn, xraw,
-                                  B - 1).astype(jnp.int32)
-    leaf_span = midx[KQ - 1::KQ] - midx[::KQ] + 1
-    base_sf = rows_u32[midx[::SUBQ], 0].astype(jnp.int32)
-    base_sl = rows_u32[midx[SUBQ - 1::SUBQ], 0].astype(jnp.int32)
-    sub_span = base_sl - base_sf + (S + 1)
-    nsub = KQ // SUBQ
-    blk_span = base_sl[nsub - 1::nsub] - base_sf[::nsub] + (S + 1)
-    maxes = jnp.stack([jnp.max(leaf_span), jnp.max(sub_span),
-                       jnp.max(blk_span)])
-    return midx, base_sf, maxes
-
-
-@functools.partial(jax.jit, static_argnames=("B_pad", "nrows0_pad",
-                                             "W_leaf", "W0", "W_sub"))
-def _sorted_offsets(midx, base_sf, *, B_pad, nrows0_pad, W_leaf, W0,
-                    W_sub):
-    """Pre-clipped DMA offsets for the chosen window tiers.
-
-    Mosaic needs HBM DMA slice offsets divisible by the sublane tiling
-    (8), so offsets are floored after clipping.  The clip bounds are
-    the PADDED row counts (arrays carry >=8 zero rows past the real
-    tail, never selected by the one-hot) — otherwise clip-then-floor
-    at the array tail cuts the last real rows out of the window."""
-    from rmi_tpu.ops.sorted_serve_kernel import KQ, SUBQ
-    nsub = KQ // SUBQ
-    leaf_lo = (jnp.clip(midx[::KQ], 0, max(B_pad - W_leaf, 0)) // 8) * 8
-    blk_lo = (jnp.clip(base_sf[::nsub] - 1, 0,
-                       max(nrows0_pad - W0, 0)) // 8) * 8
-    blk_rep = jnp.repeat(blk_lo, nsub)
-    sub_lo = jnp.clip(base_sf - 1, blk_rep, blk_rep + (W0 - W_sub))
-    return (leaf_lo.astype(jnp.int32), blk_lo.astype(jnp.int32),
-            sub_lo.astype(jnp.int32))
-
-
-def _sorted_kernel_search(rmi, plan, queries):
-    """Gather-free exact search for a sorted batch via the packed
-    plan's arrays; returns None when the batch is too sparse for the
-    window tiers (caller falls back to the gather path)."""
-    from rmi_tpu.ops import sorted_serve_kernel as ssk
-    n = plan.n
-    nrows0 = max(1, -(-n // STRIDE))        # real level-0 stripe rows
-    nrows0_pad = plan.level0_pair.shape[0]  # incl. all-ones tail pad
-    B = rmi.branching_factor
-    B_pad = plan.rows_u32.shape[0]
-    if (B_pad < ssk.W_LEAF_TIERS[0] or nrows0_pad < ssk.W0_TIERS[-1]
-            or n >= 2**31 - 64 or plan.rows_u32.shape[1] != 128
-            or getattr(plan, "F", 1) != 1):
-        # v1 assumes F == 1 (row0 = base + c1 - 1); wide plans take the
-        # direct-count kernel instead
-        return None
-    nq = queries.shape[0]
-    pad = (-nq) % ssk.KQ
-    if pad:
-        queries = jnp.concatenate(
-            [queries, jnp.broadcast_to(queries[-1:], (pad,))])
-    midx, base_sf, maxes = _sorted_stats(
-        queries, rmi.device_top_params, plan.rows_u32,
-        jnp.float64(rmi.norm_offset), jnp.float64(rmi.norm_scale),
-        rmi.keys[0], rmi.keys[-1], top_type=rmi.top_type, B=B,
-        S=plan.S, key_type=rmi.key_type)
-
-    def dispatch(W_leaf, W0, W_sub):
-        leaf_lo, blk_lo, sub_lo = _sorted_offsets(
-            midx, base_sf, B_pad=B_pad, nrows0_pad=nrows0_pad,
-            W_leaf=W_leaf, W0=W0, W_sub=W_sub)
-        qi = keymod.ordered_u64(queries, rmi.key_type)
-        qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)
-        qlo = qi.astype(jnp.uint32)
-        return ssk.serve_sorted_call(
-            qhi, qlo, midx, leaf_lo, blk_lo, sub_lo, plan.rows_u32,
-            plan.level0_pair, S=plan.S, B=B, nrows0=nrows0, n=n,
-            W_leaf=W_leaf, W0=W0, W_sub=W_sub)
-
-    # Speculate with the last batch's window tiers so the ONE host
-    # fetch of the span maxes (a tunneled ~25ms round trip) overlaps
-    # the kernel's execution instead of stalling the pipeline; the
-    # fetched maxes then verify the speculation — a re-dispatch only
-    # happens when this batch is sparser than the last.
-    tiers = getattr(plan, "_sorted_tiers", None)
-    lb = dispatch(*tiers) if tiers is not None else None
-    m_leaf, m_sub, m_blk = (int(v) for v in jax.device_get(maxes))
-    if tiers is not None:
-        W_leaf, W0, W_sub = tiers
-        if (m_leaf + 8 <= W_leaf and m_sub + 8 <= W_sub
-                and m_blk + 8 <= W0):
-            return lb[:nq].astype(jnp.int64)
-    # +8 margin: offsets are floored to sublane-tile multiples, which
-    # can push up to 7 covered rows past the window's tail.
-    W_leaf = next((w for w in ssk.W_LEAF_TIERS
-                   if m_leaf + 8 <= w <= B_pad), None)
-    W_sub = next((w for w in ssk.W_SUB_TIERS if m_sub + 8 <= w), None)
-    W0 = next((w for w in ssk.W0_TIERS
-               if m_blk + 8 <= w and W_sub is not None and w >= W_sub),
-              None)
-    if W_leaf is None or W_sub is None or W0 is None:
-        plan._sorted_tiers = None
-        return None
-    plan._sorted_tiers = (W_leaf, W0, W_sub)
-    lb = dispatch(W_leaf, W0, W_sub)
-    return lb[:nq].astype(jnp.int64)
-
-
-def _sorted_dispatch(rmi, plan, queries):
-    """Route a sorted batch to the right window kernel: the direct-
-    count kernel covers every packed plan (wide included); the v1
-    leaf-row kernel serves 2-gather plans when selected.  Returns None
-    when no kernel applies (caller falls back to gathers)."""
-    mode = _sorted_kernel_mode()
-    v1_capable = (getattr(plan, "F", 1) == 1
-                  and plan.rows_u32.shape[1] == 128)
-    if mode == "legacy":
-        if not v1_capable:
-            return None
-        if _fused_enabled():
-            return _sorted_kernel_search_fused(rmi, plan, queries)
-        return _sorted_kernel_search(rmi, plan, queries)
-    return _sorted_kernel_search_direct(rmi, plan, queries)
-
-
 def fast_search_sorted(rmi, queries):
     """Exact lower bounds for a NON-DECREASING query batch.
 
@@ -791,125 +659,18 @@ def fast_search_sorted(rmi, queries):
     queries = jnp.asarray(queries)
     if (plan.kind in ("packed", "packed_wide")
             and queries.shape[0] >= 1 << 14):
-        out = _sorted_dispatch(rmi, plan, queries)
+        out = _sorted_kernel_search_direct(rmi, plan, queries)
         if out is not None:
             return out
     return fast_search(rmi, queries)
 
 
 # ---------------------------------------------------------------------------
-# fused sorted search: on-device tier switch, zero host synchronization
+# direct-count sorted search: stripe counts in-window, leaf-width-free
 # ---------------------------------------------------------------------------
-
-# (W_leaf, W0, W_sub) combos the fused program compiles; the first
-# fitting tier serves the batch, anything sparser takes the in-graph
-# gather fallback.  Tiers must be cost-ordered; the two middle combos
-# matter because subgroup maxes run ~1.5x their mean on uniform
-# batches (measured (leaf 139, sub 151, lvl0 1664) at 200M/4M-query
-# headline shape): without them one hot dimension forces the whole
-# batch onto the 4x-cost top tier (33 vs 55 M/s measured).
-_FUSED_TIERS = ((64, 512, 64), (256, 2048, 128), (256, 2048, 256),
-                (512, 4096, 256), (1024, 4096, 512))
 
 # gather-fallback chunk: bounds the [CH, 128] row-gather transient
 _FUSED_FALLBACK_CHUNK = 1 << 20
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "top_type", "B", "S", "key_type", "n", "B_pad", "nrows0_pad",
-    "tiers"))
-def _sorted_fused_core(queries, top_params, rows_u32, level0, off, s,
-                       kmin_key, kmax_key, *, top_type, B, S, key_type,
-                       n, B_pad, nrows0_pad, tiers):
-    """Sorted-batch exact search as ONE device program.
-
-    The v1 path (_sorted_kernel_search) fetches the window-span maxes
-    to pick static kernel tiers on host — a tunneled ~25ms round trip
-    per batch that speculation only partially hides, and a decline path
-    that wastes the sort.  Here the tier choice is a traced
-    ``lax.switch`` over precompiled kernel variants, and the final
-    branch is the chunked 2-gather search itself (correct for ANY
-    span), so the program never needs the host and never declines.
-    """
-    from rmi_tpu.ops import sorted_serve_kernel as ssk
-    nq = queries.shape[0]
-    nrows0 = max(1, -(-n // STRIDE))
-    midx, base_sf, maxes = _sorted_stats(
-        queries, top_params, rows_u32, off, s, kmin_key, kmax_key,
-        top_type=top_type, B=B, S=S, key_type=key_type)
-    qi = keymod.ordered_u64(queries, key_type)
-    qhi = (qi >> jnp.uint64(32)).astype(jnp.uint32)
-    qlo = qi.astype(jnp.uint32)
-
-    def tier_branch(Wl, W0, Ws):
-        def br():
-            leaf_lo, blk_lo, sub_lo = _sorted_offsets(
-                midx, base_sf, B_pad=B_pad, nrows0_pad=nrows0_pad,
-                W_leaf=Wl, W0=W0, W_sub=Ws)
-            out = ssk.serve_sorted_call(
-                qhi, qlo, midx, leaf_lo, blk_lo, sub_lo, rows_u32,
-                level0, S=S, B=B, nrows0=nrows0, n=n,
-                W_leaf=Wl, W0=W0, W_sub=Ws)
-            return out.reshape(-1)
-        return br
-
-    def fallback():
-        CH = _FUSED_FALLBACK_CHUNK
-        pad2 = (-nq) % CH
-        qp = jnp.concatenate(
-            [queries, jnp.broadcast_to(queries[-1:], (pad2,))]) \
-            if pad2 else queries
-        outs = jax.lax.map(
-            lambda qc: _fast_search_packed(
-                qc, top_params, rows_u32, off, s, level0, kmin_key,
-                kmax_key, top_type=top_type, B=B, n=n,
-                key_type=key_type, S=S),
-            qp.reshape(-1, CH))
-        return outs.reshape(-1)[:nq].astype(jnp.int32)
-
-    # +8 margin: DMA offsets are floored to sublane-tile multiples
-    fits = [(maxes[0] + 8 <= Wl) & (maxes[1] + 8 <= Ws)
-            & (maxes[2] + 8 <= W0) for (Wl, W0, Ws) in tiers]
-    idx = jnp.int32(len(tiers))
-    for i in reversed(range(len(tiers))):
-        idx = jnp.where(fits[i], jnp.int32(i), idx)
-    branches = [tier_branch(*t) for t in tiers] + [fallback]
-    return jax.lax.switch(idx, branches)
-
-
-def _sorted_kernel_search_fused(rmi, plan, queries):
-    """Fused-program twin of _sorted_kernel_search: never declines
-    (sparse batches take the in-graph gather branch), never syncs."""
-    from rmi_tpu.ops import sorted_serve_kernel as ssk
-    n = plan.n
-    B_pad = plan.rows_u32.shape[0]
-    nrows0_pad = plan.level0_pair.shape[0]
-    tiers = tuple(t for t in _FUSED_TIERS
-                  if t[0] <= B_pad and t[1] <= nrows0_pad)
-    if not tiers or n >= 2**31 - 64 or plan.rows_u32.shape[1] != 128:
-        return None
-    nq = queries.shape[0]
-    pad = (-nq) % ssk.KQ
-    if pad:
-        queries = jnp.concatenate(
-            [queries, jnp.broadcast_to(queries[-1:], (pad,))])
-    out = _sorted_fused_core(
-        queries, rmi.device_top_params, plan.rows_u32, plan.level0_pair,
-        jnp.float64(rmi.norm_offset), jnp.float64(rmi.norm_scale),
-        rmi.keys[0], rmi.keys[-1], top_type=rmi.top_type,
-        B=rmi.branching_factor, S=plan.S, key_type=rmi.key_type,
-        n=n, B_pad=B_pad, nrows0_pad=nrows0_pad, tiers=tiers)
-    return out[:nq].astype(jnp.int64)
-
-
-def _fused_enabled() -> bool:
-    import os
-    return os.environ.get("RMI_SORTED_FUSED", "1") != "0"
-
-
-# ---------------------------------------------------------------------------
-# direct-count sorted search: stripe counts in-window, leaf-width-free
-# ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("top_type", "B", "S", "F",
                                              "key_type"))
@@ -1041,22 +802,16 @@ def _sorted_fused_core_direct(queries, top_params, rows_u32, level1,
     return jax.lax.switch(idx, branches)
 
 
-def _sorted_kernel_mode() -> str:
-    """RMI_SORTED_KERNEL: 'auto' (= direct everywhere), 'direct', or
-    'legacy' (the v1 leaf-row kernel, 2-gather plans only).
-
-    On-device A/B at 25M (probes/probe_kernel_ab.py, sorted 4M
-    batches): direct 244 vs v1 166 M/s on cubic,linear 262144, tie
-    (244 vs 249) on linear_spline,linear 65536 — the direct kernel's
-    level-0 counting avoids the leaf-row DMA that dominates at large
-    B, so 'auto' now routes every plan to it."""
-    import os
-    return os.environ.get("RMI_SORTED_KERNEL", "auto")
-
-
 def _sorted_kernel_search_direct(rmi, plan, queries):
     """Fused direct-count search for a sorted batch; None when the
-    plan's geometry rules it out entirely."""
+    plan's geometry rules it out entirely.
+
+    This is the ONLY sorted-batch kernel: the round-5 on-device A/B
+    (sorted 4M batches at 25M keys) measured it at 244 M/s vs the
+    since-deleted v1 leaf-row kernel's 166 M/s on cubic,linear 262144
+    and a tie (244 vs 249) on linear_spline,linear 65536 — its level-0
+    counting avoids the leaf-row DMA that dominated v1 at large B, and
+    it serves wide (F > 1) plans v1 had to decline."""
     from rmi_tpu.ops import sorted_serve_kernel as ssk
     n = plan.n
     nrows0_pad = plan.level0_pair.shape[0]
@@ -1118,11 +873,8 @@ def fast_search_via_sort(rmi, queries):
     multi_dev = (sharding is not None
                  and len(sharding.device_set) > 1
                  and not sharding.is_fully_replicated)
-    v1_capable = (getattr(plan, "F", 1) == 1
-                  and plan.rows_u32.shape[1] == 128)
     if (plan.kind not in ("packed", "packed_wide")
             or nq >= 2**31 or 4 * nq < 3 * nrows0
-            or (not v1_capable and _sorted_kernel_mode() == "legacy")
             or multi_dev   # a global sort would ride collectives;
                            # sharded batches use parallel.serve's
                            # per-shard sorted pipeline instead
@@ -1132,7 +884,7 @@ def fast_search_via_sort(rmi, queries):
         # probe on every call (the gather path is the right shape)
         return fast_search(rmi, queries)
     qs, order = _sort_with_order(queries)
-    lb = _sorted_dispatch(rmi, plan, qs)
+    lb = _sorted_kernel_search_direct(rmi, plan, qs)
     if lb is None:
         plan._sort_serve_veto = getattr(plan, "_sort_serve_veto", 0) + 1
         return fast_search(rmi, queries)

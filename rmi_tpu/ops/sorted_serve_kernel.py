@@ -1,34 +1,32 @@
-"""Gather-free exact search for SORTED query batches.
+"""Gather-free exact search for SORTED query batches (direct-count).
 
 The packed 2-gather plan (lookup_fast._fast_search_packed) is capped by
 the TPU gather issue rate: 2 dynamic row gathers per query ~= 50ns.
-When the query batch is sorted, both fetch patterns become CONTIGUOUS:
-leaf ids (monotone top) and level-0 stripe rows are non-decreasing
-across the batch, so each 2048-query block can DMA one leaf-row window
-and one key-stripe window and select per-query rows with one-hot
-matmuls — the same structural trick the build kernels play with
-non-decreasing leaf ids (ops/sweep_kernel.py), applied to serving.
-No per-query gather remains; the cost is MXU one-hot selects at
-~O(window) MACs per query.  Measured on the v5e chip (probes/
-probe_sorted_parts.py, 25M keys, 4M-query batches): kernel ~5ns/q,
-end-to-end ~94 M/s = 3.2x the gather path on the same batch.
+When the query batch is sorted, the fetch pattern becomes CONTIGUOUS:
+level-0 stripe rows are non-decreasing across the batch, so each
+2048-query block DMAs one key-stripe window into VMEM and each
+128-query subgroup (one lane row) counts its stripe lower bound
+DIRECTLY over the window's stripe-first column, then selects its
+stripe row with a one-hot matmul — the same structural trick the build
+kernels play with non-decreasing leaf ids (ops/sweep_kernel.py),
+applied to serving.  No per-query gather remains; the cost is VPU
+compare-counts + MXU one-hot selects at ~O(window) ops per query.
+Measured on the v5e chip (25M keys, sorted 4M-query batches):
+~244 M/s end-to-end — ~5x the gather path on the same batch.
 
 Exact u64 compares travel as 16-bit chunks in f32 lanes (exact: values
 < 2^16; one-hot matmuls at HIGHEST precision are exact for finite f32
-tables).  The plan arrays are the packed plan's own (`rows_u32`
-lane-padded, `level0_pair`), so correctness rests on the same window
-invariant: for a top monotone on the key domain, lb(q) lies in leaf
-j's sample window [start_j, next_idx_j] (lookup_fast._pack_u32_rows).
+tables).  The window array is the packed plan's own `level0_pair`, so
+correctness rests on the host-side offsets guaranteeing, per subgroup,
+  slo <= max(lb1_min - 1, 0)   and   lb1_max <= slo + W_sub
+(lookup_fast._sorted_offsets_direct derives both from the boundary
+queries' leaf-row localization LB1 <= lb1 <= LB1 + F).
 
-Applicability is checked per batch ON HOST (no in-kernel overflow
-retries): every 2048-query block's leaf span must fit W_LEAF and every
-128-query subgroup's stripe span must fit W_SUB; the wrapper falls
-back to the gather path otherwise (sparse batches — where gathers are
-the right shape anyway).  To keep the host check off the critical
-path, the wrapper SPECULATES with the previous batch's window tiers
-and overlaps the one span-max fetch (a ~25ms tunneled round trip)
-with the speculative kernel's execution, re-dispatching only when the
-batch turned out sparser (lookup_fast._sorted_kernel_search).
+Tier choice is a traced ``lax.switch`` inside one fused device program
+(lookup_fast._sorted_fused_core_direct): the first (W0, W_sub) tier
+fitting the batch's measured spans serves it; sparser batches take the
+in-graph chunked gather fallback — the program never syncs to host and
+never declines.
 """
 
 from __future__ import annotations
@@ -45,11 +43,6 @@ from rmi_tpu.ops.sweep_kernel import use_interpret
 KQ = 2048            # queries per grid block
 SUBQ = 128           # queries per level-0 subgroup (one lane row)
 NSUB = KQ // SUBQ
-
-# window tiers: (leaf rows, level-0 block rows, level-0 subgroup rows)
-W_LEAF_TIERS = (64, 256, 1024)
-W0_TIERS = (512, 2048, 4096)
-W_SUB_TIERS = (64, 128, 256, 512)
 
 
 def _srl16(x):
@@ -76,108 +69,6 @@ def _lex_lt(a3, a2, a1, a0, b3, b2, b1, b0):
                | ((a2 == b2) & ((a1 < b1)
                   | ((a1 == b1) & (a0 < b0)))))))
 
-
-def _onehot_select(wchunk_T, tl, rows: int, chunk: int):
-    """sum_r [tl == r] * wchunk_T[:, r] — accumulated over row-chunks
-    so the transient one-hot stays <= [chunk, KQ] f32.
-
-    wchunk_T: [C, rows] f32; tl: [SUB, 128] i32 in [0, rows);
-    returns [C, SUB, 128] f32 (exact: HIGHEST-precision one-hot)."""
-    SUB = tl.shape[0]
-    C = wchunk_T.shape[0]
-    acc = jnp.zeros((C, SUB, 128), jnp.float32)
-    for c0 in range(0, rows, chunk):
-        m = min(chunk, rows - c0)
-        onehotT = (jax.lax.broadcasted_iota(jnp.int32, (m, SUB, 128), 0)
-                   == (tl - c0)[None, :, :]).astype(jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            wchunk_T[:, c0:c0 + m], onehotT,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    return acc
-
-
-def _serve_sorted_kernel(leaf_lo_ref, row_lo_ref, sub_lo_ref,
-                         qhi_ref, qlo_ref, midx_ref, rows_ref, lvl0_ref,
-                         out_ref, wleaf_ref, w0_ref, sem1, sem2, *,
-                         S: int, B: int, nrows0: int, n: int,
-                         W_leaf: int, W0: int, W_sub: int):
-    g = pl.program_id(0)
-    SUB = KQ // 128
-
-    # host pre-clips AND pre-floors to sublane-tile multiples; the
-    # in-kernel (x // 8) * 8 is a no-op that lets Mosaic PROVE the
-    # DMA slice offsets divisible by the (8,128) tiling
-    lo_leaf = (leaf_lo_ref[g] // 8) * 8   # in [0, B - W_leaf]
-    lo0 = (row_lo_ref[g] // 8) * 8        # in [0, nrows0 - W0]
-    cp1 = pltpu.make_async_copy(
-        rows_ref.at[pl.ds(lo_leaf, W_leaf), :], wleaf_ref, sem1)
-    cp2 = pltpu.make_async_copy(
-        lvl0_ref.at[pl.ds(lo0, W0), :], w0_ref, sem2)
-    cp1.start()
-    cp2.start()
-    cp1.wait()
-
-    # ---- leaf-row select: base + S sample keys per query ----
-    tl = jnp.clip(midx_ref[:] - lo_leaf, 0, W_leaf - 1)
-    wv = wleaf_ref[:][:, :1 + 2 * S]                 # [W_leaf, 1+2S] u32
-    whi, wlo = _chunks_f32(wv)
-    selH = _onehot_select(jnp.transpose(whi, (1, 0)), tl, W_leaf, 512)
-    selL = _onehot_select(jnp.transpose(wlo, (1, 0)), tl, W_leaf, 512)
-
-    base = (selH[0] * 65536.0 + selL[0]).astype(jnp.int32)  # [SUB, 128]
-    q3, q2 = _chunks_f32(qhi_ref[:])
-    q1, q0 = _chunks_f32(qlo_ref[:])
-    c1 = jnp.zeros_like(base)
-    for s in range(S):
-        lt = _lex_lt(selH[1 + s], selL[1 + s],
-                     selH[1 + S + s], selL[1 + S + s], q3, q2, q1, q0)
-        c1 = c1 + lt.astype(jnp.int32)
-    row0 = jnp.clip(base + c1 - 1, 0, nrows0 - 1)    # [SUB, 128]
-
-    cp2.wait()
-
-    # ---- per-subgroup stripe select + count ----
-    # one subgroup == one 128-lane row of the block (NSUB == SUB)
-    for sub in range(NSUB):
-        slo = sub_lo_ref[g * NSUB + sub]   # pre-clipped; window covers
-        r0 = slo - lo0                     # the subgroup's row0 range
-        r0 = (r0 // 8) * 8                 # Mosaic: sublane offsets must
-        slo = lo0 + r0                     # be multiples of 8 (host adds
-        win = w0_ref[pl.ds(r0, W_sub)]     # margin); [W_sub, 256] u32
-        winh = win[:, :64]                 # stripe hi words (keys 0..64)
-        winl = win[:, 128:192]             # stripe lo words
-        k3, k2 = _chunks_f32(winh)
-        k1, k0 = _chunks_f32(winl)
-
-        srow = row0[sub:sub + 1]                     # [1, 128]
-        tl0 = jnp.clip(srow - slo, 0, W_sub - 1)     # [1, 128]
-        onehotT = (jax.lax.broadcasted_iota(
-            jnp.int32, (W_sub, 1, 128), 0)
-            == tl0[None, :, :]).astype(jnp.float32)
-
-        def sel64(kc):
-            r3 = jax.lax.dot_general(
-                jnp.transpose(kc, (1, 0)), onehotT,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # [64, 1, 128]
-            return r3.reshape(64, 128)
-
-        s3, s2, s1, s0 = sel64(k3), sel64(k2), sel64(k1), sel64(k0)
-        lt = _lex_lt(s3, s2, s1, s0,
-                     q3[sub:sub + 1], q2[sub:sub + 1],
-                     q1[sub:sub + 1], q0[sub:sub + 1])
-        cnt = jnp.sum(lt.astype(jnp.int32), axis=0,
-                      keepdims=True)                   # [1, 128]
-        lb = jnp.minimum(srow * 64 + cnt, jnp.int32(n))
-        out_ref[pl.ds(sub, 1), :] = lb
-
-
-# ---------------------------------------------------------------------------
-# direct-count kernel (v2): lb1 by stripe-first column count, no leaf rows
-# ---------------------------------------------------------------------------
 
 def _serve_sorted_direct_kernel(row_lo_ref, sub_lo_ref, qhi_ref, qlo_ref,
                                 lvl0_ref, out_ref, w0_ref, sem, *,
@@ -288,50 +179,4 @@ def serve_sorted_direct_call(qhi, qlo, row_lo, sub_lo, level0, *,
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(row_lo, sub_lo,
           qhi.reshape(-1, 128), qlo.reshape(-1, 128), level0)
-    return out.reshape(-1)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("S", "B", "nrows0", "n", "W_leaf", "W0",
-                              "W_sub"))
-def serve_sorted_call(qhi, qlo, midx, leaf_lo, row_lo, sub_lo,
-                      rows_pad, level0, *, S, B, nrows0, n,
-                      W_leaf, W0, W_sub):
-    """All inputs device arrays; q planes/midx length must be a KQ
-    multiple (caller pads with the last query).  Returns [nq] i32
-    exact lower bounds."""
-    nq = qhi.shape[0]
-    nblocks = nq // KQ
-    SUB = KQ // 128
-    kern = functools.partial(
-        _serve_sorted_kernel, S=S, B=B, nrows0=nrows0, n=n,
-        W_leaf=W_leaf, W0=W0, W_sub=W_sub)
-    with jax.enable_x64(False):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nblocks,),
-            in_specs=[pl.BlockSpec((SUB, 128), lambda g, *_: (g, 0),
-                                   memory_space=pltpu.VMEM)] * 3 +
-                     [pl.BlockSpec(memory_space=pl.ANY)] * 2,
-            out_specs=pl.BlockSpec((SUB, 128), lambda g, *_: (g, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((W_leaf, 128), jnp.uint32),
-                pltpu.VMEM((W0, 256), jnp.uint32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ])
-        out = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((nq // 128, 128), jnp.int32),
-            grid_spec=grid_spec, interpret=use_interpret(),
-            # the largest tier's unrolled one-hot selects need ~31MB of
-            # Mosaic stack — over the 16MB default scoped-vmem limit
-            # (compile-time OOM at 200M keys); v5e has 128MB VMEM and
-            # the scratch windows take <5MB, so raise the cap
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )(leaf_lo, row_lo, sub_lo,
-          qhi.reshape(-1, 128), qlo.reshape(-1, 128),
-          midx.reshape(-1, 128), rows_pad, level0)
     return out.reshape(-1)

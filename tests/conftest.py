@@ -47,3 +47,20 @@ def rng(request):
     # deterministic per test, independent of execution order
     seed = zlib.crc32(request.node.nodeid.encode())
     return np.random.default_rng(seed)
+
+
+# Quick tier (`pytest -m quick`, ~3 min on a 1-core box with a warm
+# compile cache): the bound-contract core — every test in these modules
+# that isn't explicitly marked slow.  The full suite stays the nightly
+# bar (ci.sh runs quick first for fail-fast).
+_QUICK_MODULES = frozenset({
+    "test_two_layer", "test_models", "test_data", "test_lookup_fast",
+})
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        if (mod.removesuffix(".py") in _QUICK_MODULES
+                and item.get_closest_marker("slow") is None):
+            item.add_marker(pytest.mark.quick)

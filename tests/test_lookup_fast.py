@@ -59,9 +59,14 @@ def test_fast_search_wide_packed_rows(rng):
                         [np.uint64(0), keys[0], keys[-1]]])
     idx = np.asarray(fast_search(res, jnp.asarray(q)))
     np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
+    # the direct-count kernel reads no leaf rows, so 256-lane plans
+    # serve through it too (sorted batch)
     from rmi_tpu import lookup_fast as lf
-    assert lf._sorted_kernel_search(res, plan, jnp.asarray(q)) is None
-    assert lf._sorted_kernel_search_fused(res, plan, jnp.asarray(q)) is None
+    qs = np.sort(q)
+    out = lf._sorted_kernel_search_direct(res, plan, jnp.asarray(qs))
+    assert out is not None
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.searchsorted(keys, qs))
 
 
 class TestWidePlan:
@@ -128,10 +133,9 @@ class TestWidePlan:
         idx = np.asarray(fast_search(res, jnp.asarray(q)))
         np.testing.assert_array_equal(idx, np.searchsorted(keys, q))
 
-    def test_sorted_paths_wide(self, rng, monkeypatch):
-        """Sorted/sort-pipeline entry points on a WIDE plan: the
-        direct-count kernel serves it in auto mode; legacy mode must
-        fall through to the (exact) gather path."""
+    def test_sorted_paths_wide(self, rng):
+        """Sorted/sort-pipeline entry points on a WIDE plan serve
+        through the direct-count kernel and stay exact."""
         from rmi_tpu import lookup_fast as lf
         keys = np.sort(rng.integers(0, 2**50, size=200_000,
                                     dtype=np.uint64))
@@ -141,16 +145,12 @@ class TestWidePlan:
         assert plan.kind == "packed_wide"
         q = np.sort(rng.integers(0, 2**51, size=1 << 15, dtype=np.uint64))
         want = np.searchsorted(keys, q)
-        for mode in ("auto", "legacy", "direct"):
-            monkeypatch.setenv("RMI_SORTED_KERNEL", mode)
-            plan._sort_serve_veto = 0
-            np.testing.assert_array_equal(
-                np.asarray(lf.fast_search_sorted(res, jnp.asarray(q))),
-                want, err_msg=mode)
-            np.testing.assert_array_equal(
-                np.asarray(lf.fast_search_via_sort(res, jnp.asarray(q))),
-                want, err_msg=mode)
-        monkeypatch.setenv("RMI_SORTED_KERNEL", "auto")
+        plan._sort_serve_veto = 0
+        np.testing.assert_array_equal(
+            np.asarray(lf.fast_search_sorted(res, jnp.asarray(q))), want)
+        np.testing.assert_array_equal(
+            np.asarray(lf.fast_search_via_sort(res, jnp.asarray(q))),
+            want)
         out = lf._sorted_kernel_search_direct(res, plan, jnp.asarray(q))
         assert out is not None
         np.testing.assert_array_equal(np.asarray(out), want)
@@ -318,11 +318,13 @@ def test_scalar_top_monotone_guard(rng):
     assert get_plan(res2).kind == "hier"
 
 
+@pytest.mark.slow
 class TestSortedServe:
     """Gather-free sorted-batch serving (ops/sorted_serve_kernel.py,
     interpret mode on CPU): exactness against searchsorted, kernel-path
     engagement, sparse fallback, f64 keys, and order preservation of
-    the public search_sorted API."""
+    the public search_sorted API.  slow: interpret-mode kernels at
+    400K keys dominate the file's runtime."""
 
     def _mkindex(self, rng, n=400_000, spec="cubic,linear", B=1024,
                  dup=True):
@@ -343,7 +345,7 @@ class TestSortedServe:
         q[:8] = 0                       # below range
         q[-8:] = 2**56 - 1              # above range
         q = np.sort(q)
-        out = lf._sorted_kernel_search(res, plan, jnp.asarray(q))
+        out = lf._sorted_kernel_search_direct(res, plan, jnp.asarray(q))
         assert out is not None, "dense sorted batch must take the kernel"
         np.testing.assert_array_equal(
             np.asarray(out), np.searchsorted(keys, q, side="left"))
@@ -376,29 +378,14 @@ class TestSortedServe:
             np.asarray(search_sorted(res, jnp.asarray(q))),
             np.searchsorted(keys, q, side="left"))
 
-    def test_fused_dense_and_sparse(self, rng):
-        """The fused program must be exact through BOTH a kernel tier
-        (dense batch) and the in-graph gather fallback (sparse batch),
-        with no decline in either case."""
+    def test_direct_kernel_narrow_plan(self, rng):
+        """The fused direct program must be exact through BOTH a kernel
+        tier (dense batch) and the in-graph gather fallback (sparse
+        batch), with no decline in either case."""
         from rmi_tpu import lookup_fast as lf
         keys, res = self._mkindex(rng)
         plan = get_plan(res)
         assert plan.kind == "packed"
-        for nq in (1 << 15, 2048):        # dense -> tier, sparse -> fallback
-            q = np.sort(rng.integers(0, 2**56, size=nq, dtype=np.uint64))
-            out = lf._sorted_kernel_search_fused(res, plan, jnp.asarray(q))
-            assert out is not None
-            np.testing.assert_array_equal(
-                np.asarray(out), np.searchsorted(keys, q, side="left"))
-
-    def test_direct_kernel_narrow_plan(self, rng, monkeypatch):
-        """RMI_SORTED_KERNEL=direct must serve 2-gather plans exactly
-        too (dense tier branch AND sparse fallback branch)."""
-        from rmi_tpu import lookup_fast as lf
-        keys, res = self._mkindex(rng)
-        plan = get_plan(res)
-        assert plan.kind == "packed"
-        monkeypatch.setenv("RMI_SORTED_KERNEL", "direct")
         for nq in (1 << 15, 2048):      # dense -> tier, sparse -> fallback
             q = np.sort(rng.integers(0, 2**56, size=nq, dtype=np.uint64))
             q[:4] = 0
@@ -410,9 +397,8 @@ class TestSortedServe:
             np.testing.assert_array_equal(
                 np.asarray(out), np.searchsorted(keys, q, side="left"))
 
-    def test_direct_kernel_f64(self, rng, monkeypatch):
+    def test_direct_kernel_f64(self, rng):
         from rmi_tpu import lookup_fast as lf
-        monkeypatch.setenv("RMI_SORTED_KERNEL", "direct")
         keys = np.sort(rng.uniform(-1e9, 1e9, size=400_000))
         ds = RMIDataset.from_numpy(keys)
         res = train(ds, "cubic,linear", 1024)

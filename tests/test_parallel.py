@@ -208,3 +208,57 @@ def test_multihost_helpers():
     h = multihost.hybrid_mesh()
     assert h.axis_names == ("config", "data")
     assert h.devices.shape == (1, jax.device_count())
+
+
+@pytest.mark.slow
+def test_dp_boundary_stress_large(mesh):
+    """Boundary-heavy DP build at n >= 2^22 with ODD per-shard sizes and
+    duplicate runs straddling every shard boundary — the class of
+    cross-shard carry bug (run-start/run-end scans, ppermute boundary
+    keys) that only bites when runs cross shards at awkward offsets.
+
+    Asserts the DP build's OWN every-key bound contract
+    |guess - lower_bound(key)| <= err (not just closeness to the
+    single-chip build), then the usual <=1 error agreement."""
+    import jax.numpy as jnp
+    from rmi_tpu.lookup import _rmi_eval
+    from rmi_tpu.train.two_layer import norm_constants
+
+    ndev = mesh.devices.size
+    per_shard = 524_401                      # odd
+    n = ndev * per_shard                     # 4,195,208 > 2^22
+    rng = np.random.default_rng(20260818)
+    keys = np.sort(rng.integers(0, 2**48, size=n, dtype=np.uint64))
+    # implant a duplicate run straddling EVERY shard boundary, with
+    # varied (odd/even, short/long) extents on each side
+    for s in range(1, ndev):
+        b = s * per_shard
+        left = 501 + 1000 * (s % 3)
+        right = 1000 + 777 * (s % 5)
+        keys[b - left:b + right] = keys[b]
+    # one run spanning THREE whole shards (tests multi-hop carries)
+    keys[2 * per_shard - 11:5 * per_shard + 13] = keys[3 * per_shard]
+    keys = np.sort(keys)
+
+    B = 4096
+    top, leaf = "linear", "linear"
+    top_p, leaf_p, errs, metrics = dp_train_two_layer(
+        jnp.asarray(keys), KeyType.U64, top, leaf, B, mesh)
+
+    kminf, snorm = norm_constants(jnp.asarray(keys), KeyType.U64)
+    g, e, _ = _rmi_eval(
+        jnp.asarray(keys), top_p, leaf_p, errs, jnp.float64(kminf),
+        jnp.float64(snorm), top_type=top, leaf_type=leaf, B=B, n=n,
+        key_type=KeyType.U64)
+    true_lb = np.searchsorted(keys, keys, side="left")
+    viol = np.abs(np.asarray(g) - true_lb) > np.asarray(e)
+    assert viol.sum() == 0, (
+        f"{int(viol.sum())} bound violations, first at "
+        f"{np.nonzero(viol)[0][:5]}")
+
+    # cross-check against the single-chip build
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, f"{top},{leaf}", B)
+    e1 = np.asarray(res.leaf_errors).astype(np.int64)
+    e2 = np.asarray(errs).astype(np.int64)
+    assert np.abs(e1 - e2).max() <= 1
