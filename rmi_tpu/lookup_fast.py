@@ -684,20 +684,25 @@ def _sorted_stats_direct(queries, top_params, rows_u32, off, s,
     monotone over a sorted batch, so every query in the subgroup has
       lb1 in [lb1_first, lb1_last] ⊆ [LB1_first, LB1_last + F],
     giving a window anchor (LB1_first) and span bound per subgroup from
-    just 2 row gathers per 128 queries."""
+    just 2 row gathers per 128 queries.
+
+    The top model is evaluated ONLY on the 2/SUBQ boundary slices —
+    a full-batch top eval here measured 21ms of the 43ms stats stage
+    at 4M queries (emulated-f64 cubic), all of it dead work: the
+    kernel never consumes per-query leaf ids, only the subgroup
+    anchors."""
     from rmi_tpu.ops.sorted_serve_kernel import KQ, SUBQ
     mtop = get_model(top_type)
-    qr = jnp.clip(queries, kmin_key, kmax_key)
-    xraw = keymod.as_float(qr)
-    xn = (xraw - off) * s
-    midx = predict_top_assignment(mtop, top_params, qr, xn, xraw,
-                                  B - 1).astype(jnp.int32)
-    qi = keymod.ordered_u64(queries, key_type)
 
-    def LB1_of(sel):
-        rows = rows_u32[midx[sel]]
+    def LB1_of(qsel):
+        qr = jnp.clip(qsel, kmin_key, kmax_key)
+        xraw = keymod.as_float(qr)
+        xn = (xraw - off) * s
+        midx = predict_top_assignment(mtop, top_params, qr, xn, xraw,
+                                      B - 1).astype(jnp.int32)
+        rows = rows_u32[midx]
         base = rows[:, 0].astype(jnp.int32)
-        qb = qi[sel]
+        qb = keymod.ordered_u64(qsel, key_type)
         qhi = (qb >> jnp.uint64(32)).astype(jnp.uint32)[:, None]
         qlo = qb.astype(jnp.uint32)[:, None]
         shi = rows[:, 1:1 + S]
@@ -706,9 +711,8 @@ def _sorted_stats_direct(queries, top_params, rows_u32, off, s,
         c1 = jnp.sum(lt, axis=1).astype(jnp.int32)
         return base + (c1 - 1) * F
 
-    first = jnp.arange(0, queries.shape[0], SUBQ, dtype=jnp.int32)
-    LB1_f = LB1_of(first)
-    LB1_l = LB1_of(first + (SUBQ - 1))
+    LB1_f = LB1_of(queries[::SUBQ])
+    LB1_l = LB1_of(queries[SUBQ - 1::SUBQ])
     nsub = KQ // SUBQ
     sub_span = LB1_l - LB1_f + (F + 2)
     blk_span = LB1_l[nsub - 1::nsub] - LB1_f[::nsub] + (F + 2)
