@@ -79,7 +79,7 @@ def main():
         LB1_f, maxes = lf._sorted_stats_direct(
             x, res.device_top_params, plan.rows_u32,
             jnp.float64(res.norm_offset), jnp.float64(res.norm_scale),
-            res.keys[0], res.keys[-1], top_type=res.top_type,
+            plan.kmin_key, plan.kmax_key, top_type=res.top_type,
             B=res.branching_factor, S=plan.S, F=getattr(plan, "F", 1),
             key_type=res.key_type)
         return LB1_f[:1]          # (1,) broadcasts in the perturb chain

@@ -636,6 +636,12 @@ def get_plan(rmi) -> SearchPlan:
                     rmi.device_leaf_params["w"], rmi.leaf_errors)
             else:
                 plan.packed_rows = _pack_leaf_rows(rmi)
+        # key-domain endpoints as cached device scalars: evaluating
+        # rmi.keys[0] / keys[-1] per serve call is a dynamic_slice
+        # whose x64 emulation SPLITS THE WHOLE KEY ARRAY into u32
+        # halves first — 18.8ms/call at 200M keys (probe_trace_serve)
+        plan.kmin_key = rmi.keys[0]
+        plan.kmax_key = rmi.keys[-1]
         try:
             rmi._search_plan = plan
         except AttributeError:
@@ -832,7 +838,7 @@ def _sorted_kernel_search_direct(rmi, plan, queries):
     out = _sorted_fused_core_direct(
         queries, rmi.device_top_params, plan.rows_u32, level1,
         plan.level0_pair, jnp.float64(rmi.norm_offset),
-        jnp.float64(rmi.norm_scale), rmi.keys[0], rmi.keys[-1],
+        jnp.float64(rmi.norm_scale), plan.kmin_key, plan.kmax_key,
         top_type=rmi.top_type, B=rmi.branching_factor, S=plan.S, F=F,
         key_type=rmi.key_type, n=n, nrows0_pad=nrows0_pad, tiers=tiers)
     return out[:nq].astype(jnp.int64)
@@ -914,7 +920,7 @@ def fast_search(rmi, queries):
                 q, rmi.device_top_params, plan.rows_u32,
                 jnp.float64(rmi.norm_offset),
                 jnp.float64(rmi.norm_scale), plan.level0_pair,
-                rmi.keys[0], rmi.keys[-1],
+                plan.kmin_key, plan.kmax_key,
                 top_type=rmi.top_type, B=rmi.branching_factor,
                 n=rmi.num_rmi_rows, key_type=rmi.key_type, S=plan.S)
         if plan.kind == "packed_wide":
@@ -922,7 +928,7 @@ def fast_search(rmi, queries):
                 q, rmi.device_top_params, plan.rows_u32,
                 jnp.float64(rmi.norm_offset),
                 jnp.float64(rmi.norm_scale), plan.level1_pair,
-                plan.level0_pair, rmi.keys[0], rmi.keys[-1],
+                plan.level0_pair, plan.kmin_key, plan.kmax_key,
                 top_type=rmi.top_type, B=rmi.branching_factor,
                 n=rmi.num_rmi_rows, key_type=rmi.key_type, S=plan.S,
                 F=plan.F)

@@ -15,8 +15,8 @@ Measured on the v5e chip (25M keys, sorted 4M-query batches):
 ~244 M/s end-to-end — ~5x the gather path on the same batch.
 
 Exact u64 compares travel as 16-bit chunks in f32 lanes (exact: values
-< 2^16; one-hot matmuls at HIGHEST precision are exact for finite f32
-tables).  The window array is the packed plan's own `level0_pair`, so
+< 2^16); the row select rides 8-bit byte planes so its one-hot matmuls
+are exact at DEFAULT (single-pass bf16) MXU precision.  The window array is the packed plan's own `level0_pair`, so
 correctness rests on the host-side offsets guaranteeing, per subgroup,
   slo <= max(lb1_min - 1, 0)   and   lb1_max <= slo + W_sub
 (lookup_fast._sorted_offsets_direct derives both from the boundary
@@ -60,6 +60,21 @@ def _chunks_f32(x_u32):
     x = jax.lax.bitcast_convert_type(x_u32, jnp.int32)
     return (_srl16(x).astype(jnp.float32),
             _lo16(x).astype(jnp.float32))
+
+
+def _bytes_f32(x_u32):
+    """The four bytes of each 32-bit lane as exact f32 in [0, 256) —
+    byte planes are exact in bf16 (7-bit mantissa + implicit bit), so
+    one-hot selects over them run as single-pass DEFAULT-precision
+    MXU matmuls instead of the 6-pass HIGHEST f32 decomposition the
+    16-bit chunk planes would need (3x less MXU work per select)."""
+    x = jax.lax.bitcast_convert_type(x_u32, jnp.int32)
+    b = jnp.int32(0xFF)
+    return tuple(
+        jax.lax.bitwise_and(
+            jax.lax.shift_right_logical(x, jnp.int32(sh)), b)
+        .astype(jnp.float32)
+        for sh in (24, 16, 8, 0))
 
 
 def _lex_lt(a3, a2, a1, a0, b3, b2, b1, b0):
@@ -122,21 +137,29 @@ def _serve_sorted_direct_kernel(row_lo_ref, sub_lo_ref, qhi_ref, qlo_ref,
 
         winh = win[:, :64]
         winl = win[:, 128:192]
-        k3, k2 = _chunks_f32(winh)
-        k1, k0 = _chunks_f32(winl)
         onehotT = (jax.lax.broadcasted_iota(
             jnp.int32, (W_sub, 1, 128), 0)
             == tl0[None, :, :]).astype(jnp.float32)
 
         def sel64(kc):
+            # byte-plane values (< 256) and the one-hot are both exact
+            # in bf16, and each output lane accumulates exactly one
+            # nonzero product -> DEFAULT precision (one MXU pass) is
+            # exact here; 16-bit chunk planes would need HIGHEST (~6
+            # passes) for the same result.
             r3 = jax.lax.dot_general(
                 jnp.transpose(kc, (1, 0)), onehotT,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # [64, 1, 128]
+                precision=jax.lax.Precision.DEFAULT)   # [64, 1, 128]
             return r3.reshape(64, 128)
 
-        s3, s2, s1, s0 = sel64(k3), sel64(k2), sel64(k1), sel64(k0)
+        bh3, bh2, bh1, bh0 = map(sel64, _bytes_f32(winh))
+        bl3, bl2, bl1, bl0 = map(sel64, _bytes_f32(winl))
+        s3 = bh3 * 256.0 + bh2
+        s2 = bh1 * 256.0 + bh0
+        s1 = bl3 * 256.0 + bl2
+        s0 = bl1 * 256.0 + bl0
         lt = _lex_lt(s3, s2, s1, s0,
                      q3[sub:sub + 1], q2[sub:sub + 1],
                      q1[sub:sub + 1], q0[sub:sub + 1])
