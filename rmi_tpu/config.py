@@ -37,3 +37,39 @@ if not os.environ.get("RMI_NO_COMPILE_CACHE"):
     # to re-compiling small programs) — cache everything
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# Deterministic Pallas cache keys.  JAX's persistent-cache key strips
+# debug info from the outer StableHLO module (cache_key._canonicalize_ir)
+# but a Mosaic kernel travels as an opaque serialized-bytecode string
+# inside the tpu_custom_call backend_config, WITH the file:line
+# locations of the Python call stack baked in.  Consequence: editing any
+# caller (bench.py line numbers, a different entry script, tracing a
+# build from a test vs the CLI) changes the payload bytes and forces a
+# full recompile of the monolithic build program (~5 minutes on the
+# tunneled remote compiler) even though the program is semantically
+# identical.  Strip locations from the Mosaic module before
+# serialization — they only feed kernel-compile diagnostics.
+# RMI_KEEP_KERNEL_LOCS=1 restores upstream behavior for debugging.
+if not os.environ.get("RMI_KEEP_KERNEL_LOCS"):
+    try:
+        from jax._src import tpu_custom_call as _tcc
+        from jax._src.lib.mlir import passmanager as _pm
+
+        _orig_lower_to_asm = _tcc._lower_mosaic_module_to_asm
+
+        def _lower_mosaic_stripped(module, **kw):
+            with module.context as ctx:
+                op = module.operation.clone()
+                prev = ctx.allow_unregistered_dialects
+                ctx.allow_unregistered_dialects = True
+                try:
+                    _pm.PassManager.parse(
+                        "builtin.module(strip-debuginfo)").run(op)
+                finally:
+                    ctx.allow_unregistered_dialects = prev
+                return _orig_lower_to_asm(op, **kw)
+
+        _tcc._lower_mosaic_module_to_asm = _lower_mosaic_stripped
+    except (ImportError, AttributeError):  # jax internals moved: skip —
+        pass  # only costs cache determinism, not correctness
