@@ -57,7 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="error-bounded RMI via cachefix for the line size")
     p.add_argument("--max-size", metavar="BYTES", type=int,
                    help="optimizer-driven size-bounded RMI")
-    p.add_argument("--disable-parallel-training", action="store_true")
+    p.add_argument("--disable-parallel-training", action="store_true",
+                   help="train --param-grid configs one at a time "
+                        "instead of dispatching the whole grid across "
+                        "the device pool (main.rs:241-248)")
     p.add_argument("--zero-build-time", action="store_true",
                    help="zero the build-time field in artifacts")
     p.add_argument("--optimize", metavar="file",
@@ -133,11 +136,30 @@ def main(argv=None) -> int:
         to_test = [(c["layers"], int(c["branching factor"]),
                     c.get("namespace")) for c in grid]
         log.info("# RMIs to train: %d", len(to_test))
+        if args.disable_parallel_training:
+            # forced-sequential path (src/main.rs:241-248's seq branch):
+            # one fully synchronized build at a time
+            trained_all = []
+            for i, (models, bf, ns) in enumerate(to_test):
+                log.info("[%d/%d] training %s %d", i + 1, len(to_test),
+                         models, bf)
+                trained_all.append(train(data, models, bf))
+        else:
+            # par_iter analogue (main.rs:241-248): dispatch every build
+            # round-robin over the device pool, sync the host once
+            from rmi_tpu.parallel.sweep import parallel_train_grid
+            done = [0]
+
+            def _progress(res):
+                done[0] += 1
+                log.info("[%d/%d] trained %s %d", done[0], len(to_test),
+                         res.models, res.branching_factor)
+
+            trained_all = parallel_train_grid(
+                data, [(m, bf) for m, bf, _ in to_test],
+                progress=_progress)
         results = []
-        for i, (models, bf, ns) in enumerate(to_test):
-            log.info("[%d/%d] training %s %d", i + 1, len(to_test),
-                     models, bf)
-            trained = train(data, models, bf)
+        for trained, (models, bf, ns) in zip(trained_all, to_test):
             if args.zero_build_time:
                 trained.build_time = 0
             results.append(_result_json(trained, num_rows, ns))

@@ -59,16 +59,22 @@ if not os.environ.get("RMI_KEEP_KERNEL_LOCS"):
         _orig_lower_to_asm = _tcc._lower_mosaic_module_to_asm
 
         def _lower_mosaic_stripped(module, **kw):
-            with module.context as ctx:
-                op = module.operation.clone()
-                prev = ctx.allow_unregistered_dialects
-                ctx.allow_unregistered_dialects = True
-                try:
-                    _pm.PassManager.parse(
-                        "builtin.module(strip-debuginfo)").run(op)
-                finally:
-                    ctx.allow_unregistered_dialects = prev
-                return _orig_lower_to_asm(op, **kw)
+            # Defensive: if a future JAX changes the Module/Operation
+            # contract mid-flight, fall back to upstream lowering (only
+            # costs cache-key determinism, never correctness).
+            try:
+                with module.context as ctx:
+                    op = module.operation.clone()
+                    prev = ctx.allow_unregistered_dialects
+                    ctx.allow_unregistered_dialects = True
+                    try:
+                        _pm.PassManager.parse(
+                            "builtin.module(strip-debuginfo)").run(op)
+                    finally:
+                        ctx.allow_unregistered_dialects = prev
+            except Exception:
+                return _orig_lower_to_asm(module, **kw)
+            return _orig_lower_to_asm(op, **kw)
 
         _tcc._lower_mosaic_module_to_asm = _lower_mosaic_stripped
     except (ImportError, AttributeError):  # jax internals moved: skip —

@@ -848,6 +848,12 @@ def _sorted_kernel_search_direct(rmi, plan, queries):
 # random-batch serving through the sorted kernel: sort -> serve -> unsort
 # ---------------------------------------------------------------------------
 
+# After two consecutive kernel declines the sort+stats probe is skipped,
+# but re-tried once every this-many vetoed calls so a workload whose
+# batch density rises recovers the ~2x-faster kernel path.
+SORT_SERVE_REPROBE = 64
+
+
 @jax.jit
 def _sort_with_order(q):
     return jax.lax.sort_key_val(
@@ -885,20 +891,29 @@ def fast_search_via_sort(rmi, queries):
                  and not sharding.is_fully_replicated)
     if (plan.kind not in ("packed", "packed_wide")
             or nq >= 2**31 or 4 * nq < 3 * nrows0
-            or multi_dev   # a global sort would ride collectives;
-                           # sharded batches use parallel.serve's
-                           # per-shard sorted pipeline instead
-            or getattr(plan, "_sort_serve_veto", 0) >= 2):
+            or multi_dev):  # a global sort would ride collectives;
+                            # sharded batches use parallel.serve's
+                            # per-shard sorted pipeline instead
+        return fast_search(rmi, queries)
+    if getattr(plan, "_sort_serve_veto", 0) >= 2:
         # >= 2 consecutive declines: this workload's batches are too
         # sparse for the window tiers — stop paying the sort+stats
-        # probe on every call (the gather path is the right shape)
-        return fast_search(rmi, queries)
+        # probe on every call (the gather path is the right shape).
+        # The veto DECAYS: every SORT_SERVE_REPROBE-th vetoed call
+        # re-probes once, so a workload whose batches become dense
+        # recovers the kernel path instead of being stuck forever.
+        skips = getattr(plan, "_sort_serve_skips", 0) + 1
+        if skips < SORT_SERVE_REPROBE:
+            plan._sort_serve_skips = skips
+            return fast_search(rmi, queries)
+        plan._sort_serve_skips = 0
     qs, order = _sort_with_order(queries)
     lb = _sorted_kernel_search_direct(rmi, plan, qs)
     if lb is None:
         plan._sort_serve_veto = getattr(plan, "_sort_serve_veto", 0) + 1
         return fast_search(rmi, queries)
     plan._sort_serve_veto = 0
+    plan._sort_serve_skips = 0
     return _unsort_i32(order, lb.astype(jnp.int32)).astype(jnp.int64)
 
 

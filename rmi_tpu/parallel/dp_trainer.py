@@ -594,7 +594,9 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
         res = _shr(_shl(ki, prefix), jnp.uint64(64) - bits)
         top_pred = None
         t_int = jnp.where(bits == 0, jnp.uint64(0), res)
-        top_p = jnp.stack([prefix, bits]).astype(jnp.float64)[None, :]
+        # exact u64 params in the serving dict shape (models/radix.py);
+        # an f64 round-trip would corrupt values near 2^64
+        top_p = {"w_int": jnp.stack([prefix, bits])}
     elif top_type == "bradix":
         from rmi_tpu.models.radix import num_bits_device, _bradix_bucket
         largest = global_value_at(
@@ -627,7 +629,9 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
         best = jnp.argmin(jnp.stack(scores))
         w = jnp.stack(cands)[best]
         t_int = _bradix_bucket(ki, w[0], w[1], w[2], w[3] != 0)
-        top_p = w.astype(jnp.float64)[None, :]
+        # exact u64: the low-variant clamp is a wraparound value near
+        # 2^64 (balanced_radix.rs:103-114) that f64 cannot represent
+        top_p = {"w_int": w[:3], "high": w[3]}
     elif top_type == "histogram":
         import sys as _s
         sfv = float(B) / float(n)
@@ -638,7 +642,9 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
         pivots = global_value_at(ki, pidx, dtype=jnp.uint64)
         ub = seg.hier_count(pivots, ki, strict=False)
         t_int = (ub - 1).astype(jnp.uint64)
-        top_p = pivots.astype(jnp.float64)[None, :]
+        # exact u64 pivots (they reach 2^62, histogram.rs:31) in the
+        # serving dict shape; _histogram_predict needs only "pivots"
+        top_p = {"count": jnp.uint64(num_bins), "pivots": pivots}
     else:
         raise NotImplementedError(top_type)
 

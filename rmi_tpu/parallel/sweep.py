@@ -26,6 +26,37 @@ from rmi_tpu.optimizer import RMIStatistics
 from rmi_tpu.serialize import rmi_size
 
 
+def parallel_train_grid(data: RMIDataset,
+                        configs: Sequence[Tuple[str, int]],
+                        devices: Optional[List] = None,
+                        progress=None):
+    """Train every (models, branching_factor) config with all builds in
+    flight before the first host sync — the device-pool analogue of the
+    reference's par_iter over --param-grid configs (main.rs:241-248).
+    Returns the full TrainedRMI per config (unlike
+    parallel_measure_rmis, which keeps only the statistics), so callers
+    can serialize/emit each one afterwards."""
+    from rmi_tpu.train.api import _fetch_host, train_async
+
+    if devices is None:
+        devices = jax.devices()
+    replicas = [
+        RMIDataset(keys=jax.device_put(data.keys, d),
+                   key_type=data.key_type)
+        for d in devices
+    ]
+    pending = [train_async(replicas[i % len(replicas)], models, bf)
+               for i, (models, bf) in enumerate(configs)]
+    fetched = _fetch_host([p.fetchable() for p in pending])
+    out = []
+    for p, h in zip(pending, fetched):
+        res = p.result(prefetched=h)
+        out.append(res)
+        if progress is not None:
+            progress(res)
+    return out
+
+
 def parallel_measure_rmis(data: RMIDataset,
                           configs: Sequence[Tuple[str, int]],
                           devices: Optional[List] = None,

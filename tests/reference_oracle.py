@@ -216,6 +216,137 @@ def common_prefix_size(keys) -> int:
     return lz
 
 
+_M64 = (1 << 64) - 1
+
+
+def radix_table_fit(pairs, bits: int):
+    """RadixTable::new (radix.rs:90-120): fill-forward hint table over
+    the container, trailing slots filled with the table size, slot 0
+    left at 0 when the first bucket is 0 (the last_radix==0 'continue'
+    quirk)."""
+    ks = [int(k) for k, _ in pairs]
+    prefix = common_prefix_size(ks)
+    size = 1 << bits
+    table = [0] * size
+    nb = 0 if prefix + bits > 64 else 64 - (prefix + bits)
+    last = 0
+    for k, y in pairs:
+        cur = (((int(k) << prefix) & _M64) >> prefix) >> nb
+        if cur == last:
+            continue
+        table[cur] = int(y) & 0xFFFFFFFF
+        for i in range(last + 1, cur):
+            table[i] = int(y) & 0xFFFFFFFF
+        last = cur
+    for i in range(last + 1, size):
+        table[i] = size
+    return (prefix, bits, table)
+
+
+def radix_table_predict(params, x) -> int:
+    prefix, bits, table = params
+    nb = 0 if prefix + bits > 64 else 64 - (prefix + bits)
+    return table[(((int(x) << prefix) & _M64) >> prefix) >> nb]
+
+
+def bradix_predict(params, x) -> int:
+    """BalancedRadixModel::predict_to_int (balanced_radix.rs:103-114)."""
+    prefix, tb, clamp, high = params
+    res = ((int(x) << prefix) & _M64) >> (64 - tb)
+    if high:
+        return min(res, clamp)
+    return 0 if res < clamp else res - clamp
+
+
+def bradix_fit(scaled_pairs):
+    """bradix (balanced_radix.rs:39-85): chi^2 over {bits, bits+1} x
+    {clamp-high, shift-low}, strict-< first-wins; u64 arithmetic wraps
+    (release Rust).  The chi^2 count index is clipped to max_output-1
+    where the reference would index out of bounds (same documented
+    divergence as the device fit, models/radix.py)."""
+    max_output = max(y for _x, y in scaled_pairs)
+    bits = num_bits(max_output)
+    prefix = common_prefix_size([int(k) for k, _ in scaled_pairs])
+    nbin = max(max_output, 1)
+    expected = len(scaled_pairs) / nbin
+    best_score = math.inf
+    best = None
+    for tb in range(bits, min(bits + 2, 64)):
+        bits_max = ((1 << (tb + 1)) - 1) & _M64
+        for high in (True, False):
+            clamp = ((max_output - 1) if high
+                     else (max_output - bits_max)) & _M64
+            cand = (prefix, tb, clamp, high)
+            counts = [0] * nbin
+            for k, _y in scaled_pairs:
+                counts[min(bradix_predict(cand, k), nbin - 1)] += 1
+            score = sum((c - expected) ** 2 / expected for c in counts)
+            if score < best_score:
+                best_score = score
+                best = cand
+    return best
+
+
+# -------------------------------------------------------------------------
+# cachefix greedy spline (cache_fix.rs:45-150)
+# -------------------------------------------------------------------------
+
+def oracle_cache_fix(keys: List[int], line_size: int):
+    """Sequential transcription of cache_fix(): greedy spline over the
+    deduplicated keys such that every covered point's predicted cache
+    line equals its true line; a pre-knot at key-1 precedes each key
+    whose predecessor differs (cache_fix.rs:117-136)."""
+    assert len(keys) > line_size
+
+    # DedupIter (models/mod.rs:187-231): first offset per unique key
+    uniq = []
+    for i, k in enumerate(keys):
+        if not uniq or uniq[-1][0] != k:
+            uniq.append((int(k), i))
+
+    spline = []
+    cur = None          # (from_x, from_y, to_x, to_y)
+    curr_pts = []
+
+    def predict(s, x):
+        v0, v1 = float(s[1]), float(s[3])
+        t = float(x - s[0]) / float(s[2] - s[0])
+        return int((1.0 - t) * v0 + t * v1)
+
+    def add_point(pt):
+        nonlocal cur
+        if cur is None:
+            cur = (pt[0], pt[1], pt[0], pt[1])
+            return pt
+        proposed = (cur[0], cur[1], pt[0], pt[1])
+        curr_pts.append((cur[2], cur[3]))
+        ok = all(predict(proposed, px) // line_size == py // line_size
+                 for px, py in curr_pts)
+        if ok:
+            cur = proposed
+            return None
+        prev_pt = (cur[2], cur[3])
+        cur = (prev_pt[0], prev_pt[1], pt[0], pt[1])
+        curr_pts.clear()
+        curr_pts.append(pt)
+        return prev_pt
+
+    last_key = 0
+    for key, offset in uniq:
+        km1 = max(key - 1, 0)
+        if km1 != last_key:
+            p = add_point((km1, offset))
+            if p is not None:
+                spline.append(p)
+        p = add_point((key, offset))
+        if p is not None:
+            spline.append(p)
+        last_key = key
+    if cur is not None:
+        spline.append((cur[2], cur[3]))
+    return spline
+
+
 # -------------------------------------------------------------------------
 # full two-layer oracle (two_layer.rs:101-306, without the rayon split)
 # -------------------------------------------------------------------------

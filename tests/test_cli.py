@@ -85,6 +85,30 @@ def test_param_grid(tmp_path, dataset):
     assert (tmp_path / "pg1.cpp").exists()
 
 
+def test_param_grid_sequential_matches_parallel(tmp_path, dataset):
+    """--disable-parallel-training forces the one-build-at-a-time path
+    (main.rs:241-248 seq branch); metrics must equal the device-pool
+    parallel dispatch path exactly."""
+    p, _ = dataset
+    grid = {"configs": [
+        {"layers": "linear,linear", "branching factor": 64},
+        {"layers": "linear_spline,linear", "branching factor": 32},
+        {"layers": "cubic,linear", "branching factor": 16},
+    ]}
+    gp = tmp_path / "gridp.json"
+    gp.write_text(json.dumps(grid))
+    run_cli([p, "--param-grid", str(gp)], cwd=str(tmp_path))
+    gs = tmp_path / "grids.json"
+    gs.write_text(json.dumps(grid))
+    run_cli([p, "--param-grid", str(gs), "--disable-parallel-training"],
+            cwd=str(tmp_path))
+    rp = json.load(open(str(gp) + "_results"))["results"]
+    rs = json.load(open(str(gs) + "_results"))["results"]
+    assert len(rp) == len(rs) == 3
+    for a, b in zip(rp, rs):
+        assert a == b
+
+
 def test_optimize_mode(tmp_path, dataset):
     p, _ = dataset
     env_extra = {"RMI_OPTIMIZER_PROFILE": "fast"}

@@ -407,6 +407,62 @@ class TestSortedServe:
         np.testing.assert_array_equal(
             np.asarray(out), np.searchsorted(keys, q, side="left"))
 
+    def test_via_sort_veto_decays(self, rng, monkeypatch):
+        """A plan vetoed by consecutive kernel declines must RE-PROBE
+        after SORT_SERVE_REPROBE skipped calls and recover the kernel
+        path when batch density rises — the veto is a backoff, not a
+        permanent switch (round-3 review weak#3)."""
+        from rmi_tpu import lookup_fast as lf
+        keys = np.sort(rng.integers(0, 2**55, size=100_000,
+                                    dtype=np.uint64))
+        ds = RMIDataset.from_numpy(keys)
+        res = train(ds, "cubic,linear", 256)
+        plan = get_plan(res)
+        assert plan.kind in ("packed", "packed_wide")
+        q = rng.integers(0, 2**56, size=4096, dtype=np.uint64)
+        want = np.searchsorted(keys, q, side="left")
+
+        calls = [0]
+        decline = [True]
+
+        def stub(rmi_, plan_, qs):
+            calls[0] += 1
+            if decline[0]:
+                return None
+            return jnp.asarray(
+                np.searchsorted(keys, np.asarray(qs), side="left"),
+                dtype=jnp.int32)
+
+        monkeypatch.setattr(lf, "_sorted_kernel_search_direct", stub)
+
+        # two declines arm the veto; results stay exact via the gather
+        # fallback throughout
+        for _ in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(lf.fast_search_via_sort(res, jnp.asarray(q))),
+                want)
+        assert calls[0] == 2 and plan._sort_serve_veto == 2
+
+        # vetoed calls skip the probe entirely...
+        for _ in range(lf.SORT_SERVE_REPROBE - 1):
+            np.testing.assert_array_equal(
+                np.asarray(lf.fast_search_via_sort(res, jnp.asarray(q))),
+                want)
+        assert calls[0] == 2, "probe must not run while vetoed"
+
+        # ...until the re-probe call, which now succeeds and clears it
+        decline[0] = False
+        np.testing.assert_array_equal(
+            np.asarray(lf.fast_search_via_sort(res, jnp.asarray(q))),
+            want)
+        assert calls[0] == 3
+        assert plan._sort_serve_veto == 0 and plan._sort_serve_skips == 0
+        # and the next call probes again immediately (veto cleared)
+        np.testing.assert_array_equal(
+            np.asarray(lf.fast_search_via_sort(res, jnp.asarray(q))),
+            want)
+        assert calls[0] == 4
+
     def test_via_sort_random_batch(self, rng, monkeypatch):
         """sort -> sorted kernel -> unsort must be exact for an
         arbitrary-order batch, and the search() auto hook must honor

@@ -195,6 +195,47 @@ def test_dp_full_zoo(mesh, rng, top, leaf, B):
     assert np.abs(e1 - e2).max() <= 1, (top, leaf, np.abs(e1-e2).max())
 
 
+@pytest.mark.parametrize("top", [
+    "linear", "robust_linear", "linear_spline", "cubic", "loglinear",
+    "normal", "lognormal", "radix", "bradix", "histogram",
+])
+def test_dp_params_serve_exact(mesh, rng, top):
+    """SERVE from the DP-returned top params (not a single-chip
+    retrain) and assert the every-key bound contract.  Guards the
+    exact-integer-parameter path: bradix's low-variant clamp is a u64
+    wraparound value near 2^64 (balanced_radix.rs:103-114) and
+    histogram pivots reach 2^62 (histogram.rs:31) — an f64 round-trip
+    of either corrupts routing silently."""
+    from rmi_tpu.lookup import _rmi_eval
+    from rmi_tpu.train.two_layer import norm_constants
+    from rmi_tpu.parallel.dp_trainer import DP_TOP_MODELS
+
+    assert top in DP_TOP_MODELS
+    n, B = 4096, 64
+    # keys near the top of the u64 range so that bradix/histogram
+    # params genuinely exceed f64's 53-bit integer window
+    keys = np.sort(
+        (rng.integers(1, 2**40, size=n, dtype=np.uint64) << np.uint64(22))
+        | np.uint64(0x3FFFFF))
+    top_p, leaf_p, errs, _ = dp_train_two_layer(
+        jnp.asarray(keys), KeyType.U64, top, "linear", B, mesh)
+
+    if isinstance(top_p, dict):
+        for v in top_p.values():
+            assert np.asarray(v).dtype == np.uint64, (top, top_p)
+
+    kminf, snorm = norm_constants(jnp.asarray(keys), KeyType.U64)
+    g, e, _ = _rmi_eval(
+        jnp.asarray(keys), top_p, leaf_p, errs, jnp.float64(kminf),
+        jnp.float64(snorm), top_type=top, leaf_type="linear", B=B, n=n,
+        key_type=KeyType.U64)
+    true_lb = np.searchsorted(keys, keys, side="left")
+    viol = np.abs(np.asarray(g) - true_lb) > np.asarray(e)
+    assert viol.sum() == 0, (
+        f"{top}: {int(viol.sum())} bound violations serving from "
+        f"DP-returned params")
+
+
 def test_multihost_helpers():
     """Single-process: initialize() is a safe no-op; meshes span the
     virtual device pool with the documented axis layout."""
