@@ -42,7 +42,10 @@ struct SplineState {
 inline uint64_t lerp_predict(uint64_t fx, uint64_t fy, uint64_t tx,
                              uint64_t ty, uint64_t x) {
   double t = double(x - fx) / double(tx - fx);
-  return (uint64_t)((1.0 - t) * double(fy) + t * double(ty));
+  // Explicit fma: the reference's Spline::predict uses f64::mul_add
+  // (cache_fix.rs:41).  Relying on compiler contraction (-ffp-contract)
+  // would make the knot stream depend on build flags.
+  return (uint64_t)std::fma(1.0 - t, double(fy), t * double(ty));
 }
 
 }  // namespace

@@ -22,10 +22,32 @@ import numpy as np
 from rmi_tpu.data import RMIDataset
 
 
+def _fma(a: float, b: float, c: float) -> float:
+    """Exact double fused multiply-add (one rounding), matching the
+    reference's f64::mul_add (cache_fix.rs:41).  math.fma only landed
+    in Python 3.13; Fraction arithmetic is exact and float() rounds
+    correctly, so this IS the fma result."""
+    from fractions import Fraction
+    return float(Fraction(a) * Fraction(b) + Fraction(c))
+
+
 def _predict(fx: int, fy: int, tx: int, ty: int, x: int) -> int:
-    """Spline::predict (cache_fix.rs:36-42): f64 lerp cast to usize."""
+    """Spline::predict (cache_fix.rs:36-42): f64 lerp (mul_add) cast to
+    usize.  The fused multiply-add matters: a double-rounded lerp can
+    flip a cache-line accept/reject and the greedy knot stream diverges
+    from the reference's from that point on.
+
+    Fast path: the double-rounded lerp is within 1 ulp of the fma
+    result, so when truncation is stable under a +/-5e-16 relative
+    wiggle the cheap value IS the fma truncation; only near-integer
+    values pay the exact Fraction fma."""
     t = float(x - fx) / float(tx - fx)
-    return int((1.0 - t) * float(fy) + t * float(ty))
+    a, b, c = 1.0 - t, float(fy), t * float(ty)
+    v = a * b + c
+    lo = int(v * (1.0 - 5e-16))
+    if lo == int(v * (1.0 + 5e-16)):
+        return lo
+    return int(_fma(a, b, c))
 
 
 def _cache_fix_py(keys: np.ndarray, offsets: np.ndarray,

@@ -309,9 +309,13 @@ def oracle_cache_fix(keys: List[int], line_size: int):
     curr_pts = []
 
     def predict(s, x):
+        # f64::mul_add lerp (cache_fix.rs:36-42): ONE rounding — a
+        # double-rounded lerp diverges from the reference's knot stream
+        from fractions import Fraction
         v0, v1 = float(s[1]), float(s[3])
         t = float(x - s[0]) / float(s[2] - s[0])
-        return int((1.0 - t) * v0 + t * v1)
+        return int(float(Fraction(1.0 - t) * Fraction(v0)
+                         + Fraction(t * v1)))
 
     def add_point(pt):
         nonlocal cur
@@ -425,6 +429,13 @@ def oracle_two_layer(keys: List[int], top: str, leaf: str, B: int,
         top_pred = lambda x: ((int(x) << prefix) & ((1 << 64) - 1)) >> (
             64 - bits)
         top_params = (prefix, bits)
+    elif top == "bradix":
+        top_params = bradix_fit(scaled)
+        top_pred = lambda x: bradix_predict(top_params, x)
+    elif top.startswith("radix"):          # radixN hint table as top
+        tbits = int(top[len("radix"):])
+        top_params = radix_table_fit(scaled, tbits)
+        top_pred = lambda x: radix_table_predict(top_params, x)
     elif top == "histogram":
         num_bins = scaled[-1][1] if abs(sf - 1.0) > 2.3e-16 else n - 1
         num_bins = int((n - 1) * sf) if abs(sf - 1.0) > 2.3e-16 else n - 1
@@ -456,8 +467,17 @@ def oracle_two_layer(keys: List[int], top: str, leaf: str, B: int,
         last_target = tgt
     leaf_data[last_target] = cur
 
-    leaf_fit = FIT[leaf]
-    leaf_params = [leaf_fit(leaf_data[j]) for j in range(B)]
+    radix_leaf_bits = (int(leaf[len("radix"):])
+                       if leaf.startswith("radix") and leaf != "radix"
+                       else None)
+    if radix_leaf_bits is not None:
+        # RadixTable::new per leaf container (radix.rs:90-120 with
+        # restriction None, radix.rs:167-169)
+        leaf_params = [radix_table_fit(leaf_data[j], radix_leaf_bits)
+                       for j in range(B)]
+    else:
+        leaf_fit = FIT[leaf]
+        leaf_params = [leaf_fit(leaf_data[j]) for j in range(B)]
 
     # --- lower bound corrections (lower_bound_correction.rs)
     first_key: List[Optional[Tuple[int, int]]] = [None] * B
@@ -478,9 +498,15 @@ def oracle_two_layer(keys: List[int], top: str, leaf: str, B: int,
             first_key[tgt] = (y, k)
         last_key[tgt] = (y, k)
 
-    MAXK = (1 << 32) - 1 if max(keys) < (1 << 32) and not key_is_float \
-        else (1 << 64) - 1
-    # key-type max value: tests pass the appropriate dtype keys
+    # key-type max value (models/mod.rs:81,93,105): f64::MAX for float
+    # keys, else the integer type max inferred from the key range
+    if key_is_float:
+        import sys as _sys
+        MAXK = _sys.float_info.max
+    elif max(keys) < (1 << 32):
+        MAXK = (1 << 32) - 1
+    else:
+        MAXK = (1 << 64) - 1
     nxt = [(n, MAXK)] * B
     nn: Optional[Tuple[int, int]] = None
     for j in range(B - 1, -1, -1):
@@ -505,6 +531,12 @@ def oracle_two_layer(keys: List[int], top: str, leaf: str, B: int,
                 leaf_params[j] = (cst, 0.0)
 
     def leaf_predict(j, x):
+        """``x`` is the RAW key: int-input models (radix tables) keep
+        the exact integer (ModelInput::as_int), float models cast
+        (as_float — lossy above 2^53, matching `*x as f64`)."""
+        if radix_leaf_bits is not None:
+            return radix_table_predict(leaf_params[j], int(x))
+        x = float(x)
         if leaf == "lognormal":
             return predict_to_int(predict_lognormal(leaf_params[j], x))
         return predict_to_int(predict_model(leaf, leaf_params[j], x))
@@ -516,7 +548,7 @@ def oracle_two_layer(keys: List[int], top: str, leaf: str, B: int,
     counts = [0] * B
     maxerr = [0] * B
     for (k, y), tgt in zip(pairs, targets):
-        p = leaf_predict(tgt, float(k))
+        p = leaf_predict(tgt, k)
         counts[tgt] += 1
         maxerr[tgt] = max(maxerr[tgt], err_between(p, y))
 
@@ -524,17 +556,17 @@ def oracle_two_layer(keys: List[int], top: str, leaf: str, B: int,
     final = [0] * B
     for j in range(B):
         ni, nk = nxt[j]
-        up = err_between(leaf_predict(j, float(max(nk - 1, 0)
-                                               if not key_is_float
-                                               else nk - 2.22e-16)),
+        up = err_between(leaf_predict(j, max(nk - 1, 0)
+                                      if not key_is_float
+                                      else nk - 2.22e-16),
                          ni + 1)
         pk = prv[j][1]
         pidx = nxt[j - 1][0] if j > 0 else nxt[0][0]
         # reference: prev_idx = j-1 if j>0 else 0; first = next[prev_idx]
         pidx = nxt[j - 1 if j > 0 else 0][0]
         lo = err_between(
-            leaf_predict(j, float(pk + 1 if not key_is_float
-                                  else pk + 2.22e-16)),
+            leaf_predict(j, pk + 1 if not key_is_float
+                         else pk + 2.22e-16),
             pidx)
         final[j] = max(maxerr[j], up, lo) + max_run[j]
 

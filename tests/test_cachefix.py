@@ -42,6 +42,34 @@ def test_invariant_random(rng):
     spline_invariant(keys, offs, sk, sv, 8)
 
 
+def test_fma_rounding_parity():
+    """The greedy accept/reject uses f64::mul_add (cache_fix.rs:41): a
+    double-rounded lerp flips line decisions on wide-key-range data and
+    the knot stream diverges permanently.  This exponential-gap 2^56
+    shape split the native (compiler-contracted fma) and Python
+    (double-rounded) paths by 52 knots before both were pinned to
+    explicit fma; all paths must agree bit-exactly."""
+    rng = np.random.default_rng(7)
+    gaps = rng.exponential(size=20_000)
+    csum = np.cumsum(gaps)
+    keys = np.maximum((csum * (2.0 ** 56 / csum[-1])).astype(np.uint64),
+                      np.uint64(1))
+    offs = np.arange(keys.shape[0], dtype=np.uint64)
+    sk_py, sv_py = _cache_fix_py(keys, offs, 8)
+    sk, sv = cache_fix(RMIDataset.from_numpy(keys), 8)  # native if built
+    np.testing.assert_array_equal(np.asarray(sk, np.uint64), sk_py)
+    np.testing.assert_array_equal(np.asarray(sv, np.uint64), sv_py)
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import reference_oracle as oracle
+    knots = oracle.oracle_cache_fix([int(k) for k in keys], 8)
+    np.testing.assert_array_equal(
+        sk_py, np.asarray([k for k, _ in knots], dtype=np.uint64))
+    np.testing.assert_array_equal(
+        sv_py, np.asarray([v for _, v in knots], dtype=np.uint64))
+
+
 def test_preknot_insertion():
     keys = np.asarray([10, 20, 30, 40], dtype=np.uint64)
     offs = np.arange(4, dtype=np.uint64)

@@ -81,6 +81,27 @@ def device_targets(res, keys):
         shifted = (keys.astype(np.uint64) << np.uint64(w[0]))
         p = shifted >> np.uint64(64 - int(w[1]))
         return np.minimum(p, B - 1).astype(np.int64)
+    elif t == "bradix":
+        w = tp["w_int"].reshape(-1)
+        high = bool(int(np.asarray(tp["high"])))
+        shifted = keys.astype(np.uint64) << np.uint64(int(w[0]))
+        r = shifted >> np.uint64(64 - int(w[1]))
+        clamp = np.uint64(w[2])
+        if high:
+            p = np.minimum(r, clamp)
+        else:
+            p = np.where(r < clamp, np.uint64(0), r - clamp)
+        return np.minimum(p, np.uint64(B - 1)).astype(np.int64)
+    elif t.startswith("radix"):            # radixN hint table as top
+        w = tp["w_int"].reshape(-1)
+        prefix, bits = int(w[0]), int(w[1])
+        nb = 0 if prefix + bits > 64 else 64 - (prefix + bits)
+        ki = keys.astype(np.uint64)
+        low = (ki << np.uint64(prefix)) >> np.uint64(prefix) \
+            if prefix else ki
+        bucket = low >> np.uint64(nb) if nb else low
+        p = tp["table"][bucket].astype(np.uint64)
+        return np.minimum(p, np.uint64(B - 1)).astype(np.int64)
     elif t == "histogram":
         piv = tp["pivots"]
         ub = np.searchsorted(piv, keys.astype(np.uint64), side="right")

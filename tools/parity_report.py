@@ -60,8 +60,30 @@ def dup_heavy(n: int, seed: int = 9) -> np.ndarray:
     return base * 7 + 3
 
 
+def books_like_u32(n: int, seed: int = 11) -> np.ndarray:
+    """u32 keys (the books_200M_uint32 CI shape, main.rs:122-132)."""
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(size=n)
+    csum = np.cumsum(gaps)
+    return np.maximum((csum * (2.0 ** 31 / csum[-1])).astype(np.uint32),
+                      np.uint32(1))
+
+
+def f64_like(n: int, seed: int = 13) -> np.ndarray:
+    """f64 keys (osm_cellids-style float CDF)."""
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(size=n)
+    csum = np.cumsum(gaps)
+    return np.sort((csum * (1e12 / csum[-1])).astype(np.float64))
+
+
+GEN = {"books": books_like, "dups": dup_heavy, "u32": books_like_u32,
+       "f64": f64_like}
+
 # one row per model family (tops with a linear leaf; leaf families under
-# a cubic/linear top), mirroring the reference's trainable surface
+# a cubic/linear top), mirroring the reference's trainable surface, plus
+# the integer-table tops/leaves, u32 and f64 key types (round-3 review
+# missing#4)
 CONFIGS = [
     ("linear", "linear", 1024, "books"),
     ("robust_linear", "linear", 1024, "books"),
@@ -71,15 +93,23 @@ CONFIGS = [
     ("normal", "linear", 1024, "books"),
     ("lognormal", "linear", 1024, "books"),
     ("radix", "linear", 1024, "books"),
+    ("bradix", "linear", 1024, "books"),
+    ("radix18", "linear", 1024, "books"),
     ("histogram", "linear", 1024, "books"),
     ("cubic", "cubic", 1024, "books"),
     ("cubic", "linear_spline", 1024, "books"),
+    ("cubic", "radix8", 1024, "books"),
     ("linear", "loglinear", 256, "books"),
     ("linear", "normal", 256, "books"),
     ("linear", "lognormal", 256, "books"),
     ("linear", "robust_linear", 1024, "books"),
     ("cubic", "linear", 1024, "dups"),
     ("linear", "linear", 1024, "dups"),
+    ("bradix", "linear", 1024, "dups"),
+    ("linear", "linear", 100, "u32"),          # the books-u32 CI config
+    ("cubic", "linear", 1024, "u32"),
+    ("cubic", "linear", 1024, "f64"),
+    ("linear_spline", "linear", 1024, "f64"),
 ]
 
 
@@ -91,14 +121,14 @@ def run_one(top, leaf, B, kind, n):
     import reference_oracle as oracle
     from test_two_layer import device_targets
 
-    keys = books_like(n) if kind == "books" else dup_heavy(n)
+    keys = GEN[kind](n)
     ds = RMIDataset.from_numpy(keys)
     t0 = time.time()
     res = train(ds, f"{top},{leaf}", B)
     t_dev = time.time() - t0
     t0 = time.time()
     o_params, o_final, o_metrics = oracle.oracle_two_layer(
-        keys.tolist(), top, leaf, B)
+        keys.tolist(), top, leaf, B, key_is_float=(kind == "f64"))
     t_oracle = time.time() - t0
 
     dev_t = device_targets(res, keys)
@@ -145,6 +175,55 @@ def run_one(top, leaf, B, kind, n):
     }
 
 
+def run_cachefix(n, line=8, spec="linear_spline,linear", B=4096):
+    """--bounded parity row: the device spline's knots must be
+    BIT-IDENTICAL to the sequential oracle transcription of
+    cache_fix.rs:45-150, and every key must satisfy the CI contract
+    |pos - lower_bound| <= line (tests/cache_fix_wiki/main.cpp:36)."""
+    import jax.numpy as jnp
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu.train.api import train_bounded
+    from rmi_tpu.lookup import lookup
+    import reference_oracle as oracle
+
+    keys = books_like(n)
+    ds = RMIDataset.from_numpy(keys)
+    t0 = time.time()
+    res = train_bounded(ds, spec, B, line)
+    t_dev = time.time() - t0
+    t0 = time.time()
+    knots = oracle.oracle_cache_fix([int(k) for k in keys], line)
+    t_oracle = time.time() - t0
+    ok_keys = np.asarray([k for k, _ in knots], dtype=np.uint64)
+    ok_vals = np.asarray([v for _, v in knots], dtype=np.int64)
+
+    _, sk, sv = res.cache_fix
+    sk = np.asarray(sk, dtype=np.uint64)
+    sv = np.asarray(sv, dtype=np.int64)
+    knots_equal = (len(sk) == len(ok_keys)
+                   and np.array_equal(sk, ok_keys)
+                   and np.array_equal(sv, ok_vals))
+
+    pos, _ = lookup(res, ds.keys)
+    true_lb = np.searchsorted(keys, keys, side="left")
+    diff = np.abs(np.asarray(pos) - true_lb)
+    viol = int((diff > line).sum())
+
+    return {
+        "config": f"{spec} {B} --bounded {line}",
+        "data": "books",
+        "n": n,
+        "knots_dev": int(len(sk)),
+        "knots_oracle": int(len(ok_keys)),
+        "knots_bit_identical": bool(knots_equal),
+        "max_abs_diff": int(diff.max()),
+        "bound_violations": viol,
+        "t_device_s": round(t_dev, 2),
+        "t_oracle_s": round(t_oracle, 2),
+        "ok": bool(knots_equal and viol == 0),
+    }
+
+
 def main():
     n = int(os.environ.get("RMI_PARITY_N", 1_000_000))
     only = os.environ.get("RMI_PARITY_ONLY")
@@ -165,11 +244,21 @@ def main():
                     and abs(row["max_err_dev"]
                             - row["max_err_oracle"]) <= 1) \
             or (0 < row["partition_flips"] <= max(2, n // 100_000))
+        # flipped leaves legitimately diverge (most visibly for
+        # table-lookup leaves whose prediction jumps at bucket edges),
+        # so the aggregate-metric gate loosens with flips — the same
+        # two-tier rule as tests/test_two_layer.test_parity_with_oracle
+        log2_tol = 1e-3 if row["partition_flips"] == 0 else 5e-2
         ok = (row["bound_violations"] == 0
               and row["leaf_err_max_abs_diff"] <= 1
               and flips_ok
-              and row["avg_log2_rel_diff"] < 1e-3)
+              and row["avg_log2_rel_diff"] < log2_tol)
         row["ok"] = bool(ok)
+        print(f"  -> {json.dumps(row)}", flush=True)
+    if not only or "bounded" in only:
+        print(f"[parity] cachefix --bounded 8 @ n={n} ...", flush=True)
+        row = run_cachefix(n)
+        rows.append(row)
         print(f"  -> {json.dumps(row)}", flush=True)
     report = {
         "n": n,
