@@ -197,7 +197,12 @@ def bench_families(keys, n2, nq, iters):
 def bench_latency(res, keys, iters):
     """Per-batch latency/throughput at 1K..4M queries (the reference's
     serving shape is a ~100ns scalar call, codegen.rs:612-718; this
-    records where batch dispatch amortizes on the tunneled chip)."""
+    records where batch dispatch amortizes on the tunneled chip).
+
+    floor_ms is the same chained-iteration measurement with a trivial
+    one-op kernel in place of the search: on the tunneled device it IS
+    the per-dispatch cost, so batch_ms - floor_ms isolates the model's
+    own device time at each batch size."""
     import jax
     import jax.numpy as jnp
 
@@ -207,9 +212,11 @@ def bench_latency(res, keys, iters):
         q = jax.random.randint(qkey, (nq,), 0, int(keys[-1]),
                                dtype=jnp.int64).astype(jnp.uint64)
         rate = measure_search(res, q, iters)
+        floor_ms = measure_perturb_overhead(q, iters) * 1e3
         table[str(nq)] = {
             "batch_ms": round(nq / rate * 1e3, 3),
             "mps": round(rate / 1e6, 2),
+            "floor_ms": round(floor_ms, 3),
         }
         log(f"latency {nq}: {table[str(nq)]}")
     return table
