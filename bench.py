@@ -112,49 +112,59 @@ def bench_families(keys, n2, nq, iters):
     from rmi_tpu import lookup_fast
     from rmi_tpu.train.api import train
 
+    import gc
+    import numpy as np
+
     keys2 = keys[:n2]
     ds2 = RMIDataset(keys=keys2, key_type=KeyType.U64)
-    # f64 keys/queries are synthesized ON HOST: TPU's emulated-f64
-    # multiply yields values that differ from their own host round-trip
-    # for ~1/4000 elements (non-canonical two-limb encodings, measured
-    # via kf != device_put(np.asarray(kf))) — file-loaded keys are host
-    # bytes, so host synthesis is the representative regime.
-    import numpy as np
-    keys_f = jnp.asarray(np.asarray(keys2).astype(np.float64)
-                         * (1.0 / 512.0))
-    ds_f = RMIDataset(keys=keys_f, key_type=KeyType.F64)
 
     # uniform IN-RANGE queries (the realistic lookup shape; nothing
     # clamps to the hot last rows, and f64 queries cover the key span)
     qkey = jax.random.PRNGKey(11)
     q_u = jax.random.randint(qkey, (nq,), 0, int(keys2[-1]),
                              dtype=jnp.int64).astype(jnp.uint64)
-    q_f = jnp.asarray(np.asarray(q_u).astype(np.float64) * (1.0 / 512.0))
 
-    # books u32 (BASELINE.md exercise list: linear,linear 100): the u64
-    # keys' top 32 bits — same CDF shape, duplicate-bearing at 200M
-    keys_u32 = (keys2 >> jnp.uint64(32)).astype(jnp.uint32)
-    ds_u32 = RMIDataset(keys=keys_u32, key_type=KeyType.U32)
-    q_u32 = (q_u >> jnp.uint64(32)).astype(jnp.uint32)
+    # Alternate key domains are materialized LAZILY per config and
+    # freed right after: at n=200M the u64 keys + one build's working
+    # set already fill most of HBM — keeping f64/u32 copies alive for
+    # the whole table OOMs every row (round-4 driver run).
+    def make_f64():
+        # f64 keys/queries are synthesized ON HOST: TPU's emulated-f64
+        # multiply yields values that differ from their own host
+        # round-trip for ~1/4000 elements (non-canonical two-limb
+        # encodings) — file-loaded keys are host bytes, so host
+        # synthesis is the representative regime.
+        kf = jnp.asarray(np.asarray(keys2).astype(np.float64)
+                         * (1.0 / 512.0))
+        qf = jnp.asarray(np.asarray(q_u).astype(np.float64)
+                         * (1.0 / 512.0))
+        return RMIDataset(keys=kf, key_type=KeyType.F64), qf
+
+    def make_u32():
+        # books u32 (BASELINE.md: linear,linear 100): the u64 keys'
+        # top 32 bits — same CDF shape, duplicate-bearing at 200M
+        k32 = (keys2 >> jnp.uint64(32)).astype(jnp.uint32)
+        return (RMIDataset(keys=k32, key_type=KeyType.U32),
+                (q_u >> jnp.uint64(32)).astype(jnp.uint32))
 
     configs = [
-        ("cubic,linear", 262144, ds2, q_u),
-        ("linear,linear u32", 100, ds_u32, q_u32),
-        ("linear,linear", 4096, ds2, q_u),
-        ("linear_spline,linear", 65536, ds2, q_u),
-        ("robust_linear,cubic", 65536, ds2, q_u),
-        ("radix,linear", 1024, ds2, q_u),
-        ("bradix,linear", 1024, ds2, q_u),
-        ("radix18,linear", 65536, ds2, q_u),
-        ("radix22,cubic", 65536, ds2, q_u),
-        ("histogram,linear", 4096, ds2, q_u),
-        ("loglinear,linear", 16384, ds2, q_u),
-        ("normal,linear", 4096, ds2, q_u),
-        ("lognormal,linear", 4096, ds2, q_u),
-        ("cubic,loglinear", 65536, ds2, q_u),
-        ("cubic,normal", 65536, ds2, q_u),
-        ("cubic,radix8", 4096, ds2, q_u),
-        ("cubic,linear f64", 262144, ds_f, q_f),
+        ("cubic,linear", 262144, None),
+        ("linear,linear u32", 100, make_u32),
+        ("linear,linear", 4096, None),
+        ("linear_spline,linear", 65536, None),
+        ("robust_linear,cubic", 65536, None),
+        ("radix,linear", 1024, None),
+        ("bradix,linear", 1024, None),
+        ("radix18,linear", 65536, None),
+        ("radix22,cubic", 65536, None),
+        ("histogram,linear", 4096, None),
+        ("loglinear,linear", 16384, None),
+        ("normal,linear", 4096, None),
+        ("lognormal,linear", 4096, None),
+        ("cubic,loglinear", 65536, None),
+        ("cubic,normal", 65536, None),
+        ("cubic,radix8", 4096, None),
+        ("cubic,linear f64", 262144, make_f64),
     ]
     # RMI_BENCH_FAMILIES_ONLY: ';'-separated substrings selecting a
     # subset of the configs (labels contain commas)
@@ -165,10 +175,12 @@ def bench_families(keys, n2, nq, iters):
                    if any(p in c[0].replace(" ", "_") + f"_{c[1]}"
                           for p in pats)]
     table = {}
-    for name, ebr, ds_, q_ in configs:
+    for name, ebr, make_ds in configs:
         espec = name.split(" ")[0]
         label = name.replace(" ", "_") + f"_{ebr}"
+        r0 = ds_ = q_ = None
         try:
+            ds_, q_ = make_ds() if make_ds is not None else (ds2, q_u)
             train(ds_, espec, ebr)
             t0 = time.time()
             r0 = train(ds_, espec, ebr)
@@ -189,8 +201,13 @@ def bench_families(keys, n2, nq, iters):
                 "eval_mode": r0.eval_mode,
             }
         except Exception as e:  # noqa: BLE001 — record and continue
+            e.__traceback__ = None
             table[label] = {"error": f"{type(e).__name__}: {str(e)[:90]}"}
         log(f"family {label}: {table[label]}")
+        # free this row's index, serving plan, and any alternate key
+        # domain before the next 200M-scale build
+        del r0, ds_, q_
+        gc.collect()
     return table
 
 
@@ -362,6 +379,15 @@ def run(n, t_start):
     # per-family build+serve audit (serving-breadth table in RESULTS.md)
     if os.environ.get("RMI_BENCH_FAMILIES") == "1":
         fam_n = int(os.environ.get("RMI_BENCH_FAMILIES_N", 25_000_000))
+        # the headline index + its packed serving plan are several GB at
+        # 200M; release them (and any sharded copies) so each family
+        # build gets the full HBM headroom
+        import gc
+        res = serve_res = None
+        search_fn = None          # drops the closure over per-dev copies
+        if use_shard:
+            rmis = None
+        gc.collect()
         out["families"] = bench_families(keys, min(n, fam_n),
                                          min(nq, 1 << 21), iters)
 
