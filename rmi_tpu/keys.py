@@ -221,6 +221,22 @@ def _f64_magnitude_bits(a):
     return jnp.where(pos, bits, jnp.uint64(0))            # +-0.0 -> 0
 
 
+@jax.jit
+def _ordered_u64_f64(x):
+    b = _f64_magnitude_bits(jnp.abs(x))
+    neg = x < 0.0
+    mapped = jnp.where(neg, ~(b | (jnp.uint64(1) << jnp.uint64(63))),
+                       b | (jnp.uint64(1) << jnp.uint64(63)))
+    return jnp.where(jnp.isnan(x), jnp.uint64(0), mapped)
+
+
+# Chunk width for the large-n f64 image: the magnitude-bit arithmetic
+# holds ~10 n-sized f64/u64 intermediates at once (~16GB at 200M keys,
+# the round-4 f64 serving-plan OOM), so big arrays are converted in
+# fixed-size pieces.
+_ORDERED_CHUNK = 1 << 25
+
+
 def ordered_u64(keys, key_type: KeyType):
     """Order-preserving u64 image of a key array.
 
@@ -238,11 +254,12 @@ def ordered_u64(keys, key_type: KeyType):
     if not key_type.is_float:
         return keys.astype(jnp.uint64)
     x = keys.astype(jnp.float64)
-    b = _f64_magnitude_bits(jnp.abs(x))
-    neg = x < 0.0
-    mapped = jnp.where(neg, ~(b | (jnp.uint64(1) << jnp.uint64(63))),
-                       b | (jnp.uint64(1) << jnp.uint64(63)))
-    return jnp.where(jnp.isnan(x), jnp.uint64(0), mapped)
+    n = x.shape[0]
+    if n <= _ORDERED_CHUNK:
+        return _ordered_u64_f64(x)
+    parts = [_ordered_u64_f64(x[s:min(s + _ORDERED_CHUNK, n)])
+             for s in range(0, n, _ORDERED_CHUNK)]
+    return jnp.concatenate(parts)
 
 
 def as_int(keys):

@@ -132,16 +132,26 @@ def _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw, ep_yf=None,
         # Replaces the ~55ns/key per-key param gathers of _abs_err_sum.
         from rmi_tpu.ops.select_kernel import window_select
         from rmi_tpu.utils.segments import range_sum_blocked
-        sel, ovf = window_select(
-            spans.t, [a, b, c, d, ls_a, ls_b], B=spans.B,
-            span=pallas_span)
-        ca, cb_, cc, cd, la, lb = sel
-        pred_c = ((ca * xf + cb_) * xf + cc) * xf + cd
-        pred_l = lb * xf + la
-        dc = jnp.abs(pred_c - yf)
-        dl = jnp.abs(pred_l - yf)
-        c_err = range_sum_blocked(dc, spans.starts, spans.ends)
-        l_err = range_sum_blocked(dl, spans.starts, spans.ends)
+        chans = [a, b, c, d, ls_a, ls_b]
+        if n > _L1_CHUNK:
+            # 200M-scale: selecting 6 param channels for every key at
+            # once materializes ~6 n-sized f64 arrays (~10GB at 200M,
+            # the round-4 family-table OOM); sweep the key axis in
+            # fixed chunks instead.  Small n keeps the one-shot path so
+            # the f64 summation order (and oracle-parity artifacts) is
+            # unchanged where it is tested.
+            c_err, l_err, ovf = _l1_interior_chunked(
+                spans.t, xf, yf, chans, B=spans.B, span=pallas_span)
+        else:
+            sel, ovf = window_select(spans.t, chans, B=spans.B,
+                                     span=pallas_span)
+            ca, cb_, cc, cd, la, lb = sel
+            pred_c = ((ca * xf + cb_) * xf + cc) * xf + cd
+            pred_l = lb * xf + la
+            dc = jnp.abs(pred_c - yf)
+            dl = jnp.abs(pred_l - yf)
+            c_err = range_sum_blocked(dc, spans.starts, spans.ends)
+            l_err = range_sum_blocked(dl, spans.starts, spans.ends)
         leaf_ids = jnp.arange(spans.B)
         ip = jnp.clip(spans.starts - 1, 0, spans.n - 1)
         inx = jnp.clip(spans.ends, 0, spans.n - 1)
@@ -187,11 +197,96 @@ def _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw, ep_yf=None,
     return out
 
 
+# Chunk width for the large-n L1 comparison sweep: 2^25 keys keeps the
+# per-chunk selected-channel footprint at ~6 x 268MB while the full
+# arrays (xf, yf, t) stay resident once.
+_L1_CHUNK = 1 << 25
+
+
+def _l1_interior_chunked(t, xf, yf, channels, *, B: int, span: int,
+                         chunk: int = None):
+    """Per-leaf interior |pred - y| sums for the cubic-vs-linear_spline
+    comparison, swept over the key axis in fixed-size chunks.
+
+    The augmented-span interior [starts[j], ends[j]) is exactly
+    {i : t[i] == j}, so the interior range_sum equals a segment_sum by
+    t accumulated across chunks.  The tail chunk is clamped to
+    [n - chunk, n) with already-counted elements masked out.
+    """
+    import jax
+    from jax import lax
+    from rmi_tpu.ops.select_kernel import window_select
+
+    if chunk is None:
+        chunk = _L1_CHUNK          # read at call time (testable)
+    n = t.shape[0]
+    nchunks = -(-n // chunk)
+
+    def body(ci, acc):
+        c_acc, l_acc, ovf_acc = acc
+        start = jnp.minimum(ci * chunk, n - chunk)
+        fresh0 = ci * chunk            # first index not yet counted
+        tc = lax.dynamic_slice(t, (start,), (chunk,))
+        xc = lax.dynamic_slice(xf, (start,), (chunk,))
+        yc = lax.dynamic_slice(yf, (start,), (chunk,))
+        fresh = (start + jnp.arange(chunk)) >= fresh0
+        sel, ovf_c = window_select(tc, channels, B=B, span=span)
+        ca, cb_, cc_, cd, la, lb = sel
+        pred_c = ((ca * xc + cb_) * xc + cc_) * xc + cd
+        pred_l = lb * xc + la
+        dc = jnp.where(fresh, jnp.abs(pred_c - yc), 0.0)
+        dl = jnp.where(fresh, jnp.abs(pred_l - yc), 0.0)
+        ce = jax.ops.segment_sum(dc, tc, num_segments=B,
+                                 indices_are_sorted=True)
+        le = jax.ops.segment_sum(dl, tc, num_segments=B,
+                                 indices_are_sorted=True)
+        return (c_acc + ce, l_acc + le,
+                jnp.maximum(ovf_acc, ovf_c.astype(jnp.int32)))
+
+    z = jnp.zeros((B,), jnp.float64)
+    c_err, l_err, ovf = lax.fori_loop(
+        0, nchunks, body, (z, z, jnp.zeros((), jnp.int32)))
+    return c_err, l_err, ovf
+
+
+def _abs_err_interior_chunked(params, predict, xf, yf, t, *, B: int,
+                              chunk: int = None):
+    """Chunked twin of the _abs_err_sum interior (gather-based
+    candidate predictions) for n > _L1_CHUNK."""
+    import jax
+    from jax import lax
+
+    if chunk is None:
+        chunk = _L1_CHUNK          # read at call time (testable)
+    n = t.shape[0]
+    nchunks = -(-n // chunk)
+
+    def body(ci, acc):
+        start = jnp.minimum(ci * chunk, n - chunk)
+        fresh0 = ci * chunk
+        tc = lax.dynamic_slice(t, (start,), (chunk,))
+        xc = lax.dynamic_slice(xf, (start,), (chunk,))
+        yc = lax.dynamic_slice(yf, (start,), (chunk,))
+        fresh = (start + jnp.arange(chunk)) >= fresh0
+        d = jnp.where(fresh, jnp.abs(predict(params, tc, xc) - yc), 0.0)
+        return acc + jax.ops.segment_sum(d, tc, num_segments=B,
+                                         indices_are_sorted=True)
+
+    return lax.fori_loop(0, nchunks, body, jnp.zeros((B,), jnp.float64))
+
+
 def _abs_err_sum(params, predict, xf, yf, spans):
     """Per-leaf sum of |pred - y| over augmented spans."""
     t_idx = None if spans.B == 1 else spans.t
-    d = jnp.abs(predict(params, t_idx, xf) - yf)
-    interior = seg.range_sum(d, spans.starts, spans.ends)
+    if t_idx is not None and spans.n > _L1_CHUNK:
+        # large-n: per-key param gathers + predictions materialize
+        # several n-sized f64 arrays; sweep in chunks (the interior of
+        # an augmented span [starts, ends) is exactly {i: t[i] == j})
+        interior = _abs_err_interior_chunked(params, predict, xf, yf,
+                                             spans.t, B=spans.B)
+    else:
+        d = jnp.abs(predict(params, t_idx, xf) - yf)
+        interior = seg.range_sum(d, spans.starts, spans.ends)
 
     # edge elements: evaluate leaf j's model at elements starts[j]-1 and
     # ends[j].

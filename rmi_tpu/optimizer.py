@@ -298,15 +298,19 @@ def grid_measure_rmis(data, pairs: Sequence[str], bfs: Sequence[int],
             top_t, leaf_t = models.split(",")
             ds = replicas[i % len(replicas)]
             for bucket, bs in groups:
-                lowered, args = two_layer.metrics_grid_prepare(
+                lowered, args_list = two_layer.metrics_grid_prepare(
                     ds.keys, ds.key_type, top_t, leaf_t, bs, bucket,
                     norm=norm)
-                prepped.append((models, bs, lowered, args))
+                prepped.append((models, bs, lowered, args_list))
         with cf.ThreadPoolExecutor(max_workers=nthreads) as ex:
             compiled = list(ex.map(lambda p: p[2].compile(), prepped))
-        pending = [(models, bs, comp(*args))
-                   for (models, bs, _, args), comp
-                   in zip(prepped, compiled)]
+        pending = []
+        for (models, bs, _, args_list), comp in zip(prepped, compiled):
+            # one dispatch per grid point (the compiled executable is
+            # shared; per-point temps free before the next point runs)
+            mds = [comp(*a) for a in args_list]
+            md = {k: [m[k] for m in mds] for k in mds[0]}
+            pending.append((models, bs, md))
     else:
         pending = []
         for i, models in enumerate(pairs):

@@ -249,29 +249,55 @@ def _fit_body(keys, yfix, t, kminf, s, *, leaf_type: str, B: int,
 # stage C: error sweep + probes + metrics
 # ---------------------------------------------------------------------------
 
+# Chunk width for the large-n XLA error sweep (the grid / CPU path;
+# the Pallas df64 sweep streams blocks and needs no chunking).
+_SWEEP_CHUNK = 1 << 25
+
+
 def _sweep_body(keys, yfix, t, leaf_params, next_idx, next_key, prev_key,
                 starts, ends, nonempty, kminf, s, *, leaf_type: str,
                 B: int, key_type: KeyType, b_dyn=None):
     n = keys.shape[0]
     mleaf = get_model(leaf_type)
-    xraw = keymod.as_float(keys)
-    xn = (xraw - kminf) * s
-    leaf_in = model_float_input(mleaf, xn, xraw)
 
     # error sweep (two_layer.rs:205-217); int32 per-key arrays (n < 2^31)
     # NOTE: an exact fill-forward scan (seg.fill_forward) would avoid
     # these n-scale gathers, but its associative_scan graph OOM-kills
     # the tunneled TPU compiler at n >= 100M — column gathers stay.
     t_idx = None if B == 1 else t
-    if mleaf.output_int:
-        pred = clamp_int(mleaf.predict(leaf_params, t_idx, keys),
-                         n).astype(jnp.int32)
+
+    def _pred_err(kc, tc, yc):
+        if mleaf.output_int:
+            pred = clamp_int(mleaf.predict(leaf_params, tc, kc),
+                             n).astype(jnp.int32)
+        else:
+            xrawc = keymod.as_float(kc)
+            lin = model_float_input(mleaf, (xrawc - kminf) * s, xrawc)
+            p = jnp.floor(mleaf.predict(leaf_params, tc, lin))
+            p = jnp.where(jnp.isnan(p), 0.0,
+                          jnp.clip(p, 0.0, jnp.float64(n)))
+            pred = p.astype(jnp.int32)
+        return _error_between(pred, jnp.minimum(yc, n), n)
+
+    if t_idx is not None and n > _SWEEP_CHUNK:
+        # large-n: the per-key gathers + f64 prediction chain hold many
+        # n-sized arrays at once; sweep in fixed chunks into an i32
+        # error buffer (recomputed clamped-tail overlap writes the same
+        # values, so no masking is needed)
+        nchunks = -(-n // _SWEEP_CHUNK)
+
+        def body(ci, err_acc):
+            start = jnp.minimum(ci * _SWEEP_CHUNK, n - _SWEEP_CHUNK)
+            kc = jax.lax.dynamic_slice(keys, (start,), (_SWEEP_CHUNK,))
+            tc = jax.lax.dynamic_slice(t, (start,), (_SWEEP_CHUNK,))
+            yc = jax.lax.dynamic_slice(yfix, (start,), (_SWEEP_CHUNK,))
+            return jax.lax.dynamic_update_slice(
+                err_acc, _pred_err(kc, tc, yc), (start,))
+
+        err = jax.lax.fori_loop(0, nchunks, body,
+                                jnp.zeros((n,), jnp.int32))
     else:
-        pred_f = mleaf.predict(leaf_params, t_idx, leaf_in)
-        p = jnp.floor(pred_f)
-        p = jnp.where(jnp.isnan(p), 0.0, jnp.clip(p, 0.0, jnp.float64(n)))
-        pred = p.astype(jnp.int32)
-    err = _error_between(pred, jnp.minimum(yfix, n), n)
+        err = _pred_err(keys, t_idx, yfix)
 
     # epsilon probes (two_layer.rs:226-259)
     def probe_input(probe_keys):
@@ -560,47 +586,52 @@ GRID_METRIC_KEYS = ("model_avg_log2_error", "model_max_log2_error",
 
 @functools.partial(jax.jit, static_argnames=("top_type", "leaf_type",
                                              "B", "key_type"))
-def _metrics_grid_core(keys, kminf, s, b_arr, *, top_type: str,
-                       leaf_type: str, B: int, key_type: KeyType):
-    """Measure-only builds for MANY branching factors in ONE program.
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_type", "leaf_type", "B", "key_type"))
+def _metrics_grid_point(keys, yfix, kminf, s, b, *, top_type: str,
+                        leaf_type: str, B: int, key_type: KeyType):
+    """Measure-only build for ONE branching factor with ``b`` a traced
+    scalar.
 
     The reference's --optimize drives hundreds of full builds across a
     (models, branching factor) grid (optimizer.rs:110-151, 233-249);
     compiling a fresh XLA program per branching factor made that
     impractical on the tunneled TPU compiler (minutes per compile).
-    Here the program is compiled once per (model pair, bucket B) with
-    the TRUE branching factor ``b`` a traced scalar: arrays are sized
-    for the static pad bucket ``B``, leaves in [b, B) stay empty
-    (their spans are [n, n)) and are masked out of the error metrics
-    (see _sweep_tail's b_dyn handling).  ``lax.map`` then runs the
-    whole grid sequentially on-device with per-iteration temporaries
-    freed — one compile, one host fetch for every branching factor.
+    Here the program is compiled once per (model pair, bucket B):
+    arrays are sized for the static pad bucket ``B``, leaves in [b, B)
+    stay empty (their spans are [n, n)) and are masked out of the
+    error metrics (see _sweep_tail's b_dyn handling).
 
-    FixDups positions are b-invariant and hoisted out of the loop.
-    Returns a dict of [len(b_arr)]-stacked metric arrays.
+    One DISPATCH per branching factor rather than an on-device
+    lax.map over all of them: the map's shared loop body pinned every
+    phase's n-sized temporaries simultaneously and exhausted device
+    memory at 200M keys (~15GB of HLO temps), while per-point
+    dispatches free each point's temporaries before the next starts —
+    the same peak as a single monolithic build.  FixDups positions are
+    b-invariant and passed in (computed once per dataset).
     """
-    yfix = _fixdups_i32(keys)
     n = keys.shape[0]
+    sf = b.astype(jnp.float64) / jnp.float64(n)
+    yf, _top_params, t = _assign_body(
+        keys, kminf, s, top_type=top_type, B=B, key_type=key_type,
+        b_dyn=b, sf_dyn=sf, yfix=yfix)
+    (leaf_params, _patch, next_idx, next_key, prev_key, starts, ends,
+     nonempty) = _fit_body(keys, yf, t, kminf, s, leaf_type=leaf_type,
+                           B=B, key_type=key_type, b_dyn=b)
+    _leaf_errors, metrics = _sweep_body(
+        keys, yf, t, _predict_params(leaf_params), next_idx, next_key,
+        prev_key, starts, ends, nonempty, kminf, s,
+        leaf_type=leaf_type, B=B, key_type=key_type, b_dyn=b)
+    return {k: metrics[k] for k in GRID_METRIC_KEYS}
 
-    def one(b):
-        sf = b.astype(jnp.float64) / jnp.float64(n)
-        yf, _top_params, t = _assign_body(
-            keys, kminf, s, top_type=top_type, B=B, key_type=key_type,
-            b_dyn=b, sf_dyn=sf, yfix=yfix)
-        (leaf_params, _patch, next_idx, next_key, prev_key, starts, ends,
-         nonempty) = _fit_body(keys, yf, t, kminf, s, leaf_type=leaf_type,
-                               B=B, key_type=key_type, b_dyn=b)
-        _leaf_errors, metrics = _sweep_body(
-            keys, yf, t, _predict_params(leaf_params), next_idx, next_key,
-            prev_key, starts, ends, nonempty, kminf, s,
-            leaf_type=leaf_type, B=B, key_type=key_type, b_dyn=b)
-        return {k: metrics[k] for k in GRID_METRIC_KEYS}
 
-    return jax.lax.map(one, b_arr)
+_fixdups_jit = jax.jit(_fixdups_i32)
 
 
 def _metrics_grid_args(keys, key_type: KeyType, top_type: str,
                        leaf_type: str, bs, bucket, norm):
+    """Shared-args + per-point b arrays for the grid point program."""
     validate_spec([top_type, leaf_type])
     bs = [int(b) for b in bs]
     if bucket is None:
@@ -608,31 +639,35 @@ def _metrics_grid_args(keys, key_type: KeyType, top_type: str,
     if max(bs) > bucket:
         raise ValueError(f"bucket {bucket} < max branching factor {max(bs)}")
     kminf, s = norm_constants(keys, key_type) if norm is None else norm
-    b_arr = jnp.asarray(bs, dtype=jnp.int32)
-    args = (keys, jnp.float64(kminf), jnp.float64(s), b_arr)
+    yfix = _fixdups_jit(keys)
+    base = (keys, yfix, jnp.float64(kminf), jnp.float64(s))
+    b_args = [jnp.asarray(b, dtype=jnp.int32) for b in bs]
     statics = dict(top_type=top_type, leaf_type=leaf_type, B=int(bucket),
                    key_type=key_type)
-    return args, statics
+    return base, b_args, statics
 
 
 def metrics_grid_async(keys, key_type: KeyType, top_type: str,
                        leaf_type: str, bs, bucket: int = None, norm=None):
     """Dispatch a B-generic metrics grid (no host sync).
 
-    Returns the device-resident dict of [len(bs)]-stacked metrics;
-    fetch with jax.device_get (batched across pairs by the optimizer).
+    Returns a dict of per-branching-factor LISTS of device scalars
+    (same compiled program for every point); fetch with
+    jax.device_get (batched across pairs by the optimizer).
     """
-    args, statics = _metrics_grid_args(keys, key_type, top_type,
-                                       leaf_type, bs, bucket, norm)
-    return _metrics_grid_core(*args, **statics)
+    base, b_args, statics = _metrics_grid_args(keys, key_type, top_type,
+                                               leaf_type, bs, bucket, norm)
+    mds = [_metrics_grid_point(*base, b, **statics) for b in b_args]
+    return {k: [m[k] for m in mds] for k in GRID_METRIC_KEYS}
 
 
 def metrics_grid_prepare(keys, key_type: KeyType, top_type: str,
                          leaf_type: str, bs, bucket: int = None,
                          norm=None):
     """AOT twin of metrics_grid_async: trace+lower now (cheap, host
-    Python), compile later — ``(lowered, args)`` where
-    ``lowered.compile()(*args)`` dispatches the grid.
+    Python), compile later — ``(lowered, args_list)`` where
+    ``lowered.compile()`` yields an executable to call once per
+    per-point argument tuple in ``args_list``.
 
     The optimizer compiles many independent grid programs; lowering
     them sequentially then calling ``.compile()`` from a thread pool
@@ -640,9 +675,10 @@ def metrics_grid_prepare(keys, key_type: KeyType, top_type: str,
     on tunneled TPUs it is a remote RPC the host merely waits on),
     collapsing the sweep's cold-start wall time.
     """
-    args, statics = _metrics_grid_args(keys, key_type, top_type,
-                                       leaf_type, bs, bucket, norm)
-    return _metrics_grid_core.lower(*args, **statics), args
+    base, b_args, statics = _metrics_grid_args(keys, key_type, top_type,
+                                               leaf_type, bs, bucket, norm)
+    lowered = _metrics_grid_point.lower(*base, b_args[0], **statics)
+    return lowered, [(*base, b) for b in b_args]
 
 
 def train_two_layer(keys, key_type: KeyType, yfix_unused, top_type: str,

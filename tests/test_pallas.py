@@ -145,3 +145,37 @@ def test_df64_transcendental_metrics_near_oracle(rng, spec, masked):
     ok = e_xla < (1 << 12) if masked else np.ones_like(e_xla, bool)
     assert np.mean(ok) > 0.25
     assert np.max(np.abs(e_df[ok] - e_xla[ok])) <= 2
+
+
+def test_l1_interior_chunked_matches_oneshot(rng):
+    """The chunked cubic-vs-linear L1 sweep (models/cubic.py, the
+    200M-scale memory path) must reproduce the one-shot
+    window_select + range_sum interior sums."""
+    import jax.numpy as jnp
+    from rmi_tpu.models.cubic import _l1_interior_chunked
+    from rmi_tpu.ops.select_kernel import window_select
+    from rmi_tpu.utils import segments as seg
+
+    n, B = 3 * 4096 + 517, 64           # non-multiple of every chunk
+    t = np.sort(rng.integers(0, B, size=n).astype(np.int32))
+    xf = jnp.asarray(np.sort(rng.uniform(0.0, 1.0, size=n)))
+    yf = jnp.asarray(np.arange(n, dtype=np.float64))
+    chans = [jnp.asarray(rng.uniform(-2.0, 2.0, size=B)) for _ in range(4)]
+    chans += [jnp.asarray(rng.uniform(-2.0, 2.0, size=B)) for _ in range(2)]
+    t = jnp.asarray(t)
+
+    sel, _ = window_select(t, chans, B=B, span=B)
+    ca, cb, cc, cd, la, lb = sel
+    pred_c = ((ca * xf + cb) * xf + cc) * xf + cd
+    pred_l = lb * xf + la
+    import jax
+    want_c = jax.ops.segment_sum(jnp.abs(pred_c - yf), t, num_segments=B)
+    want_l = jax.ops.segment_sum(jnp.abs(pred_l - yf), t, num_segments=B)
+
+    got_c, got_l, ovf = _l1_interior_chunked(
+        t, xf, yf, chans, B=B, span=B, chunk=4096)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=1e-12)
+    assert int(ovf) == 0

@@ -281,3 +281,37 @@ def test_restrictions_enforced():
     # table layers are rejected.
     with pytest.raises(ValueError):
         train(ds, "linear,radix26", 1 << 12)  # B * 2^26 entries: too big
+
+
+def test_chunked_large_n_paths_match(rng, monkeypatch):
+    """The large-n chunked sweep/fit paths (two_layer._SWEEP_CHUNK,
+    models/cubic._L1_CHUNK — the 200M-scale memory diet) must produce
+    the same leaf errors and metrics as the one-shot paths."""
+    import jax
+    from rmi_tpu.train import two_layer as tl
+    from rmi_tpu.models import cubic as cubic_mod
+
+    keys = make_data("dups", 5000, rng)
+    ds = RMIDataset.from_numpy(keys)
+    base = {}
+    for spec, B in (("cubic,cubic", 32), ("linear,linear", 64),
+                    ("radix,radix8", 16)):
+        r = train(ds, spec, B)
+        base[(spec, B)] = (np.asarray(r.leaf_errors).copy(),
+                           r.model_max_error, r.model_avg_log2_error)
+
+    monkeypatch.setattr(tl, "_SWEEP_CHUNK", 1024)
+    monkeypatch.setattr(cubic_mod, "_L1_CHUNK", 1024)
+    jax.clear_caches()      # force retrace under the patched constants
+    try:
+        for spec, B in base:
+            ds2 = RMIDataset.from_numpy(keys)
+            r2 = train(ds2, spec, B)
+            want_err, want_max, want_log2 = base[(spec, B)]
+            np.testing.assert_array_equal(
+                np.asarray(r2.leaf_errors), want_err)
+            assert r2.model_max_error == want_max
+            np.testing.assert_allclose(r2.model_avg_log2_error,
+                                       want_log2, rtol=1e-12)
+    finally:
+        jax.clear_caches()  # drop traces that baked the patched values

@@ -147,9 +147,18 @@ def main():
         table[lb] = row
         print(f"  -> {json.dumps(row)}  ({time.time()-t0:.0f}s)",
               flush=True)
-    report = {"n": args.n, "nq": args.nq, "generated_unix": time.time(),
-              "rows": table}
     out_path = os.path.join(REPO, "FAMILIES_200M.json")
+    rows = {}
+    if os.path.exists(out_path):
+        try:
+            prev = json.load(open(out_path))
+            if prev.get("n") == args.n:
+                rows = prev.get("rows", {})   # merge partial re-runs
+        except Exception:
+            pass
+    rows.update(table)
+    report = {"n": args.n, "nq": args.nq, "generated_unix": time.time(),
+              "rows": rows}
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {out_path}")
