@@ -236,6 +236,19 @@ def grid_measurable(models: str) -> bool:
     return top in _B_GENERIC_TOPS and leaf in _B_GENERIC_LEAVES
 
 
+def grid_safe(models: str, n: int) -> bool:
+    """grid_measurable minus a shape class that faults the device:
+    cubic-LEAF B-generic points at chunked-sweep scale (n > 2^25)
+    reproducibly crashed the tunneled TPU worker (kernel fault, round
+    4 — linear/robust_linear tops with the same n, bucket, and b_dyn
+    ran clean, and the cubic-leaf per-build Pallas path runs clean at
+    200M).  Those pairs are measured per-build instead."""
+    if not grid_measurable(models):
+        return False
+    leaf = models.split(",")[1]
+    return not (leaf == "cubic" and n > (1 << 25))
+
+
 def _compile_threads(njobs: int) -> int:
     """Concurrent-compile pool size for the grid sweep.
 
@@ -350,23 +363,34 @@ def _find_pareto_bucketed(data, restrict, progress, reuse_phase1):
     reuse_phase1) — only the measurement strategy differs: phase 1 is
     one grid program per pair at the (small) probe bucket, phase 2 one
     per qualifying pair at the full-range bucket."""
+    n = data.n
+
+    def measure_phase(cfg):
+        """Grid-safe pairs through the B-bucketed grid; the rest
+        per-build (train_async — the df64 Pallas path at scale)."""
+        grid_cfg = [c for c in cfg if grid_safe(c[0], n)]
+        pb_cfg = [c for c in cfg if not grid_safe(c[0], n)]
+        stats = {}
+        if grid_cfg:
+            stats = grid_measure_rmis(
+                data, _ordered_unique(m for m, _ in grid_cfg),
+                _ordered_unique(b for _, b in grid_cfg))
+        if pb_cfg:
+            for st in measure_rmis(data, pb_cfg):
+                stats[(st.models, st.branching_factor)] = st
+        return [stats[c] for c in cfg]
+
     cfg1 = first_phase_configs()
-    pairs1 = _ordered_unique(m for m, _ in cfg1)
-    probe_bfs = _ordered_unique(b for _, b in cfg1)
-    stats = grid_measure_rmis(data, pairs1, probe_bfs)
-    phase1 = [stats[c] for c in cfg1]
+    phase1 = measure_phase(cfg1)
     if progress is not None:
         for st in phase1:
             progress(st)
     cfg2 = second_phase_configs(phase1)
     phase2 = []
     if cfg2:
-        pairs2 = _ordered_unique(m for m, _ in cfg2)
         # every qualifying pair skips the same phase-1 probes, so the
         # remaining branching factors are uniform across pairs
-        bfs2 = _ordered_unique(b for _, b in cfg2)
-        stats2 = grid_measure_rmis(data, pairs2, bfs2)
-        phase2 = [stats2[c] for c in cfg2]
+        phase2 = measure_phase(cfg2)
     if progress is not None:
         for st in phase2:
             progress(st)

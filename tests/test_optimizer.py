@@ -180,6 +180,33 @@ def test_bucketed_front_matches_legacy(monkeypatch, rng):
                                    b.average_log2_error, rtol=2e-3)
 
 
+def test_mixed_grid_perbuild_front_matches(monkeypatch, rng):
+    """When some pairs are not grid-safe (the 200M cubic-leaf worker
+    fault, optimizer.grid_safe), the bucketed sweep measures them
+    per-build and must select the same front as the all-grid sweep."""
+    from rmi_tpu import optimizer
+    from rmi_tpu.data import RMIDataset
+    monkeypatch.setenv("RMI_OPTIMIZER_PROFILE", "fast")
+    monkeypatch.setenv("RMI_OPT_BUCKETED", "1")
+    monkeypatch.setattr(optimizer, "branching_factors",
+                        lambda: [2**i for i in range(4, 12, 2)])
+    keys = np.sort(rng.integers(0, 2**40, size=5000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+
+    all_grid = find_pareto_efficient_configs(ds, restrict=6)
+    monkeypatch.setattr(
+        optimizer, "grid_safe",
+        lambda m, n: optimizer.grid_measurable(m)
+        and m.split(",")[1] != "cubic")
+    mixed = find_pareto_efficient_configs(ds, restrict=6)
+
+    assert ([(r.models, r.branching_factor, r.size) for r in all_grid]
+            == [(r.models, r.branching_factor, r.size) for r in mixed])
+    for a, b in zip(all_grid, mixed):
+        np.testing.assert_allclose(a.average_log2_error,
+                                   b.average_log2_error, rtol=2e-3)
+
+
 def test_grid_measure_threaded_compile(monkeypatch, rng):
     """The AOT concurrent-compile path (RMI_OPT_COMPILE_THREADS > 1)
     must produce the same grid measurements as the inline-dispatch
