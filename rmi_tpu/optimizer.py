@@ -296,6 +296,9 @@ def grid_measure_rmis(data, pairs: Sequence[str], bfs: Sequence[int],
                     for d in devices]
     else:
         replicas = [data]
+    # one FixDups array per replica, shared by every grid program on
+    # that device (pending dispatches pin their argument buffers)
+    yfixes = [two_layer._fixdups_jit(r.keys) for r in replicas]
 
     groups = _bucket_groups(bfs)
     nthreads = _compile_threads(len(pairs) * len(groups))
@@ -313,7 +316,7 @@ def grid_measure_rmis(data, pairs: Sequence[str], bfs: Sequence[int],
             for bucket, bs in groups:
                 lowered, args_list = two_layer.metrics_grid_prepare(
                     ds.keys, ds.key_type, top_t, leaf_t, bs, bucket,
-                    norm=norm)
+                    norm=norm, yfix=yfixes[i % len(replicas)])
                 prepped.append((models, bs, lowered, args_list))
         with cf.ThreadPoolExecutor(max_workers=nthreads) as ex:
             compiled = list(ex.map(lambda p: p[2].compile(), prepped))
@@ -332,7 +335,7 @@ def grid_measure_rmis(data, pairs: Sequence[str], bfs: Sequence[int],
             for bucket, bs in groups:
                 md = two_layer.metrics_grid_async(
                     ds.keys, ds.key_type, top_t, leaf_t, bs, bucket,
-                    norm=norm)
+                    norm=norm, yfix=yfixes[i % len(replicas)])
                 pending.append((models, bs, md))
 
     fetched = _fetch_host([md for _, _, md in pending])

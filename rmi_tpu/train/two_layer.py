@@ -630,8 +630,14 @@ _fixdups_jit = jax.jit(_fixdups_i32)
 
 
 def _metrics_grid_args(keys, key_type: KeyType, top_type: str,
-                       leaf_type: str, bs, bucket, norm):
-    """Shared-args + per-point b arrays for the grid point program."""
+                       leaf_type: str, bs, bucket, norm, yfix=None):
+    """Shared-args + per-point b arrays for the grid point program.
+
+    ``yfix`` (FixDups positions, b-invariant) may be passed in so MANY
+    grid programs over the same keys share ONE [n] i32 array — each
+    pending dispatch pins its argument buffers, and per-call copies
+    (0.8GB each at 200M) stack up across (pair, bucket) programs.
+    """
     validate_spec([top_type, leaf_type])
     bs = [int(b) for b in bs]
     if bucket is None:
@@ -639,7 +645,8 @@ def _metrics_grid_args(keys, key_type: KeyType, top_type: str,
     if max(bs) > bucket:
         raise ValueError(f"bucket {bucket} < max branching factor {max(bs)}")
     kminf, s = norm_constants(keys, key_type) if norm is None else norm
-    yfix = _fixdups_jit(keys)
+    if yfix is None:
+        yfix = _fixdups_jit(keys)
     base = (keys, yfix, jnp.float64(kminf), jnp.float64(s))
     b_args = [jnp.asarray(b, dtype=jnp.int32) for b in bs]
     statics = dict(top_type=top_type, leaf_type=leaf_type, B=int(bucket),
@@ -648,7 +655,8 @@ def _metrics_grid_args(keys, key_type: KeyType, top_type: str,
 
 
 def metrics_grid_async(keys, key_type: KeyType, top_type: str,
-                       leaf_type: str, bs, bucket: int = None, norm=None):
+                       leaf_type: str, bs, bucket: int = None, norm=None,
+                       yfix=None):
     """Dispatch a B-generic metrics grid (no host sync).
 
     Returns a dict of per-branching-factor LISTS of device scalars
@@ -656,14 +664,15 @@ def metrics_grid_async(keys, key_type: KeyType, top_type: str,
     jax.device_get (batched across pairs by the optimizer).
     """
     base, b_args, statics = _metrics_grid_args(keys, key_type, top_type,
-                                               leaf_type, bs, bucket, norm)
+                                               leaf_type, bs, bucket,
+                                               norm, yfix=yfix)
     mds = [_metrics_grid_point(*base, b, **statics) for b in b_args]
     return {k: [m[k] for m in mds] for k in GRID_METRIC_KEYS}
 
 
 def metrics_grid_prepare(keys, key_type: KeyType, top_type: str,
                          leaf_type: str, bs, bucket: int = None,
-                         norm=None):
+                         norm=None, yfix=None):
     """AOT twin of metrics_grid_async: trace+lower now (cheap, host
     Python), compile later — ``(lowered, args_list)`` where
     ``lowered.compile()`` yields an executable to call once per
@@ -676,7 +685,8 @@ def metrics_grid_prepare(keys, key_type: KeyType, top_type: str,
     collapsing the sweep's cold-start wall time.
     """
     base, b_args, statics = _metrics_grid_args(keys, key_type, top_type,
-                                               leaf_type, bs, bucket, norm)
+                                               leaf_type, bs, bucket,
+                                               norm, yfix=yfix)
     lowered = _metrics_grid_point.lower(*base, b_args[0], **statics)
     return lowered, [(*base, b) for b in b_args]
 
