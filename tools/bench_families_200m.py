@@ -149,15 +149,23 @@ def main():
               flush=True)
     out_path = os.path.join(REPO, "FAMILIES_200M.json")
     rows = {}
+    file_n = args.n
     if os.path.exists(out_path):
         try:
             prev = json.load(open(out_path))
-            if prev.get("n") == args.n:
-                rows = prev.get("rows", {})   # merge partial re-runs
+            rows = prev.get("rows", {})       # merge partial re-runs
+            file_n = prev.get("n", args.n)
         except Exception:
             pass
-    rows.update(table)
-    report = {"n": args.n, "nq": args.nq, "generated_unix": time.time(),
+    if args.n == file_n:
+        rows.update(table)
+    else:
+        # reduced-scale fallback rows keep their own n in the label and
+        # never displace same-config full-scale rows
+        for lb, row in table.items():
+            row = dict(row, n=args.n)
+            rows[f"{lb}@{args.n}"] = row
+    report = {"n": file_n, "nq": args.nq, "generated_unix": time.time(),
               "rows": rows}
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
