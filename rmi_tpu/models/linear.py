@@ -114,6 +114,12 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0, pallas_span=None):
         m2, c = seg.aug_centered_moments(use, xf, yf, mean_x, mean_y,
                                          weights)
 
+    return _slr_from_moments(cnt, mean_x, mean_y, m2, c), ovf
+
+
+def _slr_from_moments(cnt, mean_x, mean_y, m2, c):
+    """(alpha, beta) from per-leaf count/means/centered moments with the
+    reference's degenerate cases (linear.rs:37-55)."""
     # beta = cov/var; the (n-1) normalizations cancel (linear.rs:46-55).
     var_zero = m2 <= 0.0
     beta = jnp.where(var_zero, 0.0, c / jnp.where(var_zero, 1.0, m2))
@@ -124,7 +130,7 @@ def _slr_ranges(xf, yf, spans, weights=None, trim=0, pallas_span=None):
     alpha = jnp.where(cnt == 0, 0.0,
                       jnp.where((cnt == 1) | var_zero, mean_y, alpha))
     beta = jnp.where((cnt <= 1) | var_zero, 0.0, beta)
-    return jnp.stack([alpha, beta], axis=-1), ovf
+    return jnp.stack([alpha, beta], axis=-1)
 
 
 def _whole_array_spans(n):
@@ -205,6 +211,94 @@ def _log_targets(yf):
     return jnp.where(keep, ln, 0.0), keep.astype(jnp.float64)
 
 
+# Chunk width for the large-n masked leaf fit: loglinear leaves need
+# ln(y) and a finite-mask weight per element; materializing those [n]
+# f64 arrays plus the window-moments df64 pairs exhausts the 16GB
+# device at 200M keys (the round-4 family-table gap).  Above this
+# threshold the fit sweeps the key axis in fixed chunks, recomputing
+# ln/weights per chunk so no n-sized log/weight array ever exists.
+_MASKED_FIT_CHUNK = 1 << 25
+
+
+def _masked_slr_chunked(xf, y_raw, spans, chunk: int = None):
+    """Per-leaf (alpha, beta) of the x vs ln(y) regression, swept over
+    the key axis in fixed-size chunks (two chunked passes: masked
+    count/sums, then centered moments).
+
+    The augmented-span interior [starts[j], ends[j]) is exactly
+    {i : t[i] == j}, so interior sums are segment_sums by t accumulated
+    across chunks; the at-most-two overlap elements per leaf
+    (starts[j]-1 when has_prev, ends[j] when has_next — the reference's
+    spilled neighbor points, two_layer.rs:52-82) are added with O(B)
+    direct gathers.  Drop semantics match _log_targets: elements whose
+    ln(y) is non-finite get weight 0 (linear.rs:63-67).
+    """
+    import jax
+    from jax import lax
+
+    if chunk is None:
+        chunk = _MASKED_FIT_CHUNK      # read at call time (testable)
+    n = xf.shape[0]
+    B = spans.B
+    nchunks = -(-n // chunk)
+
+    def chunk_views(ci):
+        start = jnp.minimum(ci * chunk, n - chunk)
+        xc = lax.dynamic_slice(xf, (start,), (chunk,))
+        yc = lax.dynamic_slice(y_raw, (start,), (chunk,))
+        tc = lax.dynamic_slice(spans.t, (start,), (chunk,))
+        fresh = (start + jnp.arange(chunk)) >= ci * chunk
+        ln = jnp.log(yc)
+        keep = jnp.isfinite(ln) & fresh
+        w = keep.astype(jnp.float64)
+        return xc, jnp.where(keep, ln, 0.0), tc, w
+
+    def seg_sum(v, tc):
+        return jax.ops.segment_sum(v, tc, num_segments=B,
+                                   indices_are_sorted=True)
+
+    def edge_vals(idx, present):
+        i = jnp.clip(idx, 0, n - 1)
+        ln = jnp.log(y_raw[i])
+        keep = jnp.isfinite(ln) & present
+        return (xf[i], jnp.where(keep, ln, 0.0),
+                keep.astype(jnp.float64))
+
+    exp_, lnp, wp = edge_vals(spans.starts - 1, spans.has_prev)
+    exn, lnn, wn = edge_vals(spans.ends, spans.has_next)
+
+    def body1(ci, acc):
+        cnt_a, sx_a, sy_a = acc
+        xc, lnc, tc, w = chunk_views(ci)
+        return (cnt_a + seg_sum(w, tc),
+                sx_a + seg_sum(w * xc, tc),
+                sy_a + seg_sum(lnc, tc))      # lnc is 0 where dropped
+
+    z = jnp.zeros((B,), jnp.float64)
+    cnt, sx, sy = lax.fori_loop(0, nchunks, body1, (z, z, z))
+    cnt = cnt + wp + wn
+    sx = sx + wp * exp_ + wn * exn
+    sy = sy + lnp + lnn
+
+    safe_cnt = jnp.maximum(cnt, 1.0)
+    mean_x = sx / safe_cnt
+    mean_y = sy / safe_cnt
+
+    def body2(ci, acc):
+        m2_a, c_a = acc
+        xc, lnc, tc, w = chunk_views(ci)
+        dx = (xc - mean_x[tc]) * w
+        dy = (lnc - mean_y[tc]) * w
+        return m2_a + seg_sum(dx * dx, tc), c_a + seg_sum(dx * dy, tc)
+
+    m2, c = lax.fori_loop(0, nchunks, body2, (z, z))
+    dxp = (exp_ - mean_x) * wp
+    dxn = (exn - mean_x) * wn
+    m2 = m2 + dxp * dxp + dxn * dxn
+    c = c + dxp * (lnp - mean_y * wp) + dxn * (lnn - mean_y * wn)
+    return _slr_from_moments(cnt, mean_x, mean_y, m2, c)
+
+
 def _loglinear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
     ln, w = _log_targets(ys_f)
     return _slr_ranges(keys_f, ln, _whole_array_spans(n), weights=w)[0]
@@ -212,6 +306,9 @@ def _loglinear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
 
 def _loglinear_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
                           pallas_span=None):
+    if xf.shape[0] > _MASKED_FIT_CHUNK and spans.B > 1:
+        # 200M-scale: never materialize [n] ln/weight arrays
+        return _masked_slr_chunked(xf, yf, spans)
     ln, w = _log_targets(yf)
     params, ovf = _slr_ranges(xf, ln, spans, weights=w,
                               pallas_span=pallas_span)

@@ -315,3 +315,51 @@ def test_chunked_large_n_paths_match(rng, monkeypatch):
                                        want_log2, rtol=1e-12)
     finally:
         jax.clear_caches()  # drop traces that baked the patched values
+
+
+def test_loglinear_chunked_fit_matches(rng, monkeypatch):
+    """The large-n chunked loglinear leaf fit (linear._MASKED_FIT_CHUNK
+    — the 200M-scale path that never materializes [n] ln/weight
+    arrays) must agree with the one-shot masked fit, and a build
+    trained through it must keep the every-key bound contract."""
+    import jax
+    from rmi_tpu.models import linear as lin
+    from rmi_tpu.utils import segments as seg
+
+    keys = make_data("dups", 6000, rng)
+    ds = RMIDataset.from_numpy(keys)
+    r = train(ds, "cubic,loglinear", 32)
+    want_err = np.asarray(r.leaf_errors).copy()
+    want_log2 = r.model_avg_log2_error
+
+    # direct fit agreement on the same spans
+    n, B = 6000, 32
+    x = np.sort(np.random.default_rng(3).uniform(0.0, 1.0, n))
+    y = np.arange(n, dtype=np.float64)
+    t = np.clip((x * B).astype(np.int32), 0, B - 1)
+    xf, yf = jnp.asarray(x), jnp.asarray(y)
+    spans = seg.make_spans(jnp.asarray(t), B)
+    ln, w = lin._log_targets(yf)
+    ref, _ = lin._slr_ranges(xf, ln, spans, weights=w)
+    got = lin._masked_slr_chunked(xf, yf, spans, chunk=1024)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-9)
+
+    monkeypatch.setattr(lin, "_MASKED_FIT_CHUNK", 1024)
+    jax.clear_caches()      # force retrace under the patched constant
+    try:
+        ds2 = RMIDataset.from_numpy(keys)
+        r2 = train(ds2, "cubic,loglinear", 32)
+        # chunked summation order may move a fit by ulps -> allow the
+        # per-leaf error integers to differ by <= 1 (the parity-report
+        # standard for reordered f64 reductions)
+        assert np.max(np.abs(np.asarray(r2.leaf_errors).astype(np.int64)
+                             - want_err.astype(np.int64))) <= 1
+        np.testing.assert_allclose(r2.model_avg_log2_error, want_log2,
+                                   rtol=1e-6)
+        # the bound contract is absolute regardless of summation order
+        idx = search(r2, ds2.keys)
+        truth = np.searchsorted(keys, keys, side="left")
+        assert np.array_equal(np.asarray(idx), truth)
+    finally:
+        jax.clear_caches()
