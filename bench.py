@@ -52,8 +52,8 @@ def gen_books_like(n: int, seed: int = 42):
     return keys
 
 
-def measure_search(res, queries, iters, search_fn=None):
-    """Exact-search throughput (queries/s) with CHAINED batches.
+def _measure_search_once(res, queries, iters, search_fn=None):
+    """One chained-batch measurement; returns seconds PER ITERATION.
 
     block_until_ready is unreliable over the tunneled device, so each
     batch derives from the previous result (perturb xor — a few
@@ -76,8 +76,64 @@ def measure_search(res, queries, iters, search_fn=None):
         idx = search_fn(res, q)
         q = perturb(queries, idx)
     _ = int(jnp.max(idx))               # forces the whole chain
-    dt = (time.time() - t0) / iters
-    return queries.shape[0] / dt
+    return (time.time() - t0) / iters
+
+
+# A timed phase is treated as STALLED when it exceeds this multiple of
+# the best observed time for the same phase.  The round-5 diagnosis
+# (RESULTS.md) showed the tunneled device occasionally inserts
+# 200-500s server-side pauses with zero client CPU; a single such
+# pause inside a timed window silently corrupts a one-shot number
+# (BENCH_r04's 56.5 M/s vs the stable 85 M/s), so every headline
+# phase is now measured as independent trials with outlier re-runs.
+_STALL_FACTOR = 3.0
+
+
+def measure_search_robust(res, queries, iters, search_fn=None,
+                          trials=3, max_extra=2):
+    """Best-of-N chained measurements with stall detection.
+
+    Runs ``trials`` independent chains; any trial slower than
+    _STALL_FACTOR x the best is flagged as a stall and re-run (up to
+    ``max_extra`` additional trials total).  Returns a dict with the
+    best and median throughput plus the raw per-trial times so the
+    artifact records what happened instead of absorbing it."""
+    import statistics
+
+    times = [_measure_search_once(res, queries, iters, search_fn)
+             for _ in range(trials)]
+    stalled = 0
+    extra = 0
+    while extra < max_extra:
+        best = min(times)
+        slow = [t for t in times if t > _STALL_FACTOR * best]
+        if not slow:
+            break
+        stalled += len(slow)
+        # drop the stalled trials and replace with a fresh one
+        times = [t for t in times if t <= _STALL_FACTOR * best]
+        times.append(_measure_search_once(res, queries, iters,
+                                          search_fn))
+        extra += 1
+    best = min(times)
+    med = statistics.median(times)
+    nq = queries.shape[0]
+    return {
+        "best": nq / best,
+        "median": nq / med,
+        "trial_iter_ms": [round(t * 1e3, 3) for t in times],
+        "stall_detected": stalled > 0,
+        "stalled_trials": stalled,
+    }
+
+
+def measure_search(res, queries, iters, search_fn=None):
+    """Back-compat single-number throughput: best of 2 trials (the
+    family/latency tables use this; the headline uses the robust
+    variant directly)."""
+    r = measure_search_robust(res, queries, iters, search_fn,
+                              trials=2, max_extra=1)
+    return r["best"]
 
 
 def measure_perturb_overhead(queries, iters):
@@ -261,18 +317,45 @@ def run(n, t_start):
     log(f"keygen: {time.time()-t0:.2f}s")
     ds = RMIDataset(keys=keys, key_type=KeyType.U64)
 
-    # cold build (includes jit compilation)
+    # cold build (includes jit compilation).  The tunneled device
+    # occasionally stalls 200-500s server-side on a first sync
+    # (RESULTS.md round-5 diagnosis; it corrupted BENCH_r04's cold
+    # number: 448.9s vs the stable ~6-15s).  If the first cold build
+    # exceeds the stall threshold, clear the executable caches and
+    # recompile once; report both attempts and the flag.
+    cold_stall_s = float(os.environ.get("RMI_BENCH_COLD_STALL_S", 120))
     t0 = time.time()
     res = train(ds, spec, branch)
-    cold = time.time() - t0
-    log(f"cold build: {cold:.2f}s")
+    cold_first = time.time() - t0
+    log(f"cold build: {cold_first:.2f}s")
+    cold = cold_first
+    cold_stall = cold_first > cold_stall_s
+    cold_retry = None
+    if cold_stall:
+        log(f"cold build exceeded {cold_stall_s:.0f}s — suspected "
+            f"tunnel stall; clearing caches and recompiling once")
+        import gc
+        res = None
+        gc.collect()
+        jax.clear_caches()
+        t0 = time.time()
+        res = train(ds, spec, branch)
+        cold_retry = time.time() - t0
+        log(f"cold retry: {cold_retry:.2f}s")
+        cold = min(cold_first, cold_retry)
 
     # warm build — the production regime (compile cache amortized);
-    # comparable to the reference's per-build cost.
-    t0 = time.time()
-    res = train(ds, spec, branch)
-    warm = time.time() - t0
-    log(f"warm build: {warm:.3f}s  max_err={res.model_max_error} "
+    # comparable to the reference's per-build cost.  Best of 3 (each
+    # ~0.7s) so one stalled sync can't define the headline.
+    warm_times = []
+    for _ in range(3):
+        t0 = time.time()
+        res = train(ds, spec, branch)
+        warm_times.append(time.time() - t0)
+    warm = min(warm_times)
+    warm_stall = any(t > 3.0 * warm for t in warm_times)
+    log(f"warm builds: {['%.3f' % t for t in warm_times]} -> "
+        f"{warm:.3f}s  max_err={res.model_max_error} "
         f"avg_log2={res.model_avg_log2_error:.4f} "
         f"size={rmi_size(res)}")
 
@@ -315,8 +398,9 @@ def run(n, t_start):
         search_fn = lambda r, q: search_sharded(rmis, q)  # noqa: E731
         log(f"serving sharded over {ndev} devices (per-device copies)")
 
-    total_rate = measure_search(serve_res, queries, iters,
-                                search_fn=search_fn)
+    serve = measure_search_robust(serve_res, queries, iters,
+                                  search_fn=search_fn)
+    total_rate = serve["best"]
     rate = total_rate / (ndev if use_shard else 1)
     batch_ms = queries.shape[0] / total_rate * 1e3
     ovh_ms = measure_perturb_overhead(queries, iters) * 1e3
@@ -324,7 +408,9 @@ def run(n, t_start):
         f"({100.0 * ovh_ms / batch_ms:.2f}% of the timed batch)")
     log(f"search: {batch_ms:.2f} ms / {queries.shape[0]} queries -> "
         f"{total_rate/1e6:.1f}M/s total, {rate/1e6:.1f}M/s/chip "
-        f"({ndev if use_shard else 1} chip(s))")
+        f"({ndev if use_shard else 1} chip(s)); trials "
+        f"{serve['trial_iter_ms']} ms/iter, stall_detected="
+        f"{serve['stall_detected']}")
 
     ref_build_s = 14.288421237          # README.md:52
     out = {
@@ -334,8 +420,18 @@ def run(n, t_start):
         "unit": "lookups_per_sec_per_chip",
         # baseline target: 100M/s on v5e-8 => 12.5M/s per chip
         "vs_baseline": rate / 12.5e6,
+        "serve_median_per_chip": serve["median"] / (ndev if use_shard
+                                                    else 1),
+        "serve_trial_iter_ms": serve["trial_iter_ms"],
+        "serve_stall_detected": serve["stall_detected"],
         "build_time_s": warm,
+        "build_warm_times_s": [round(t, 3) for t in warm_times],
+        "build_warm_stall_detected": warm_stall,
         "build_cold_s": cold,
+        "build_cold_first_s": round(cold_first, 2),
+        "build_cold_retry_s": (round(cold_retry, 2)
+                               if cold_retry is not None else None),
+        "build_cold_stall_detected": cold_stall,
         "build_speedup_vs_reference": ref_build_s / warm,
         "build_eval_mode": res.eval_mode,
         "model_max_error": int(res.model_max_error),
@@ -388,8 +484,12 @@ def run(n, t_start):
         if use_shard:
             rmis = None
         gc.collect()
+        # 4M batches: at 200M keys the sorted-pipeline density gate
+        # sits near 2.3M queries/batch, so 2M batches would record the
+        # gather-path floor instead of engine numbers comparable with
+        # the headline
         out["families"] = bench_families(keys, min(n, fam_n),
-                                         min(nq, 1 << 21), iters)
+                                         min(nq, 1 << 22), iters)
 
     print(json.dumps(out), flush=True)
 

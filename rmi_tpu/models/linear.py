@@ -239,6 +239,10 @@ def _masked_slr_chunked(xf, y_raw, spans, chunk: int = None):
     if chunk is None:
         chunk = _MASKED_FIT_CHUNK      # read at call time (testable)
     n = xf.shape[0]
+    # dynamic_slice below is sized `chunk`, so the chunk can never
+    # exceed the array (a direct call with chunk > n would otherwise
+    # fail at trace time and make `n - chunk` negative)
+    chunk = min(chunk, n)
     B = spans.B
     nchunks = -(-n // chunk)
 
@@ -307,7 +311,12 @@ def _loglinear_fit_top(keys_f, ys_f, ep_ys_f, n, **_):
 def _loglinear_fit_leaves(xf, yf, spans, keys_f, xf_raw=None,
                           pallas_span=None):
     if xf.shape[0] > _MASKED_FIT_CHUNK and spans.B > 1:
-        # 200M-scale: never materialize [n] ln/weight arrays
+        # 200M-scale: never materialize [n] ln/weight arrays.  This
+        # path intentionally bypasses the Pallas fit kernel
+        # (pallas_span): the chunked sweep is already memory-shaped,
+        # and with no windowed kernel there is no overflow flag to
+        # report (callers default a missing "ovf" to 0, which is
+        # correct here).
         return _masked_slr_chunked(xf, yf, spans)
     ln, w = _log_targets(yf)
     params, ovf = _slr_ranges(xf, ln, spans, weights=w,

@@ -586,9 +586,6 @@ GRID_METRIC_KEYS = ("model_avg_log2_error", "model_max_log2_error",
 
 @functools.partial(jax.jit, static_argnames=("top_type", "leaf_type",
                                              "B", "key_type"))
-@functools.partial(
-    jax.jit,
-    static_argnames=("top_type", "leaf_type", "B", "key_type"))
 def _metrics_grid_point(keys, yfix, kminf, s, b, *, top_type: str,
                         leaf_type: str, B: int, key_type: KeyType):
     """Measure-only build for ONE branching factor with ``b`` a traced

@@ -112,7 +112,10 @@ def main():
     ap.add_argument("--n", type=int,
                     default=int(os.environ.get("RMI_BENCH_FAMILIES_N",
                                                200_000_000)))
-    ap.add_argument("--nq", type=int, default=1 << 21)
+    # 4M query batches: above the ~2.3M sorted-pipeline density gate
+    # at n=200M, so family serve rates are comparable with the
+    # headline instead of recording the gather-path floor
+    ap.add_argument("--nq", type=int, default=1 << 22)
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
