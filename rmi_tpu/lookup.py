@@ -97,7 +97,25 @@ def _bounded_search_jit(keys, queries, guess, err, *, n: int, iters: int):
 @functools.partial(jax.jit, static_argnames=("line_size", "total_keys"))
 def _cachefix_interp(spline_keys, spline_vals, queries, start, err_s, *,
                      line_size: int, total_keys: int):
-    """Spline lerp quantized to the cache line (codegen.rs:405-444)."""
+    """Spline lerp quantized to the cache line (codegen.rs:405-444).
+
+    The reference's emitted lookup computes the lerp with a FUSED
+    ``std::fma(1-t, v0, t*v1)`` (codegen.rs:444); the device lerp here
+    is double-rounded, and on this TPU f64 arithmetic is two-limb
+    emulated (relative error ~2^-45), so the value can sit on the
+    other side of a cache-line boundary than the reference's fma
+    result.  Exact device fma is unattainable at reasonable cost;
+    instead the QUANTIZATION is made insensitive to the rounding mode:
+    any lane whose lerp value lies within ``eps`` of a line boundary
+    resolves to the UPPER line.  Proof of the serve contract under
+    that rule: the fit guarantees the true offset lies in
+    [m*L, (m+1)*L) where m is the fma lerp's line index; our index is
+    in {m, m+1} (|v_dev - v_fma| <= eps by the error bound below), and
+    both choices give |pos - true| <= L = the reported err.  Resolving
+    DOWN instead could give 2L-1 on an adversarial boundary flip —
+    the failure mode the round-4 fit divergence exposed on 2^56-gap
+    data (see tests/test_cachefix.py::test_serve_boundary_exactness).
+    """
     num_pts = spline_keys.shape[0]
     iters = max(1, math.ceil(math.log2(num_pts + 1)) + 1)
     res = bounded_lower_bound(spline_keys, queries, start, err_s,
@@ -110,8 +128,15 @@ def _cachefix_interp(spline_keys, spline_vals, queries, start, err_s, *,
     v1 = spline_vals[r].astype(jnp.float64)
     qf = queries.astype(jnp.float64)
     t = (qf - k1) / jnp.maximum(k2 - k1, 1.0)
-    pos = ((1.0 - t) * v0 + t * v1).astype(jnp.int64)
-    pos = (pos // line_size) * line_size
+    v = (1.0 - t) * v0 + t * v1
+    # |v - fma lerp| bound: <=3 ulp of the double-rounded form
+    # (~total_keys * 2^-51) plus the TPU two-limb emulation slack
+    # (rel ~2^-45 per op); total_keys * 2^-40 dominates both with
+    # orders of magnitude to spare while staying far below 1 position
+    # (2^-12 at n=2^28), so non-boundary lanes are never perturbed.
+    eps = max(total_keys, 1) * (2.0 ** -40)
+    line = jnp.floor((v + eps) / line_size)
+    pos = jnp.maximum(line.astype(jnp.int64), 0) * line_size
     return jnp.where(past_end, jnp.int64(total_keys - 1), pos)
 
 

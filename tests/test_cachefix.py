@@ -112,6 +112,77 @@ def test_bounded_with_duplicates(rng):
     assert (np.abs(np.asarray(pos, dtype=np.int64) - lb) <= 8).all()
 
 
+def test_serve_boundary_exactness():
+    """The reference's emitted cachefix lookup lerps with std::fma
+    (codegen.rs:444); the JAX serve path is double-rounded and (on
+    TPU) two-limb-emulated, so _cachefix_interp resolves any lane
+    within eps of a cache-line boundary to the UPPER line — both
+    possible fma-side outcomes then satisfy |pos - true| <= line.
+
+    Part 1 sweeps the lerp value across a line boundary at ulp
+    granularity (denominator 2^50+1 makes each query step move the
+    lerp by ~1.4e-14) and checks the device line index against the
+    exact-Fraction fma oracle: always in {m, m+1}, and exactly m away
+    from the boundary.  Part 2 is the end-to-end contract on the
+    2^56-gap dataset class that exposed the round-4 fit divergence."""
+    from fractions import Fraction
+    from rmi_tpu.lookup import _cachefix_interp
+
+    # --- part 1: ulp-resolution sweep across the 24 = 3*8 boundary
+    D = (1 << 50) + 1                    # odd => t rounds in the divide
+    v0, v1, line = 13, 35, 8             # odd v0 => (1-t)*v0 inexact
+    # near sweep: every lane within eps of the boundary (steps of
+    # ~1.4e-14 in lerp value); far block: clear of the eps window by
+    # ~0.015 so the no-perturbation branch is exercised too
+    qs = np.concatenate([
+        np.arange((1 << 49) - 400, (1 << 49) + 400, dtype=np.uint64),
+        np.arange((1 << 49) - (1 << 30), (1 << 49) - (1 << 30) + 64,
+                  dtype=np.uint64),
+        np.arange((1 << 49) + (1 << 30), (1 << 49) + (1 << 30) + 64,
+                  dtype=np.uint64),
+    ])
+    sk = jnp.asarray(np.asarray([0, D], dtype=np.uint64))
+    sv = jnp.asarray(np.asarray([v0, v1], dtype=np.uint64))
+    start = jnp.zeros(qs.shape, jnp.int64)
+    errs = jnp.full(qs.shape, 2, jnp.int64)
+    pos = np.asarray(_cachefix_interp(sk, sv, jnp.asarray(qs), start,
+                                      errs, line_size=line,
+                                      total_keys=1000))
+    m_dev = pos // line
+
+    m_exact = np.empty(qs.shape[0], dtype=np.int64)
+    fma_vals = np.empty(qs.shape[0], dtype=np.float64)
+    for i, q in enumerate(qs.tolist()):
+        t = float(Fraction(q, D))              # fl(q / D)
+        a = 1.0 - t                            # exact (Sterbenz)
+        p = float(Fraction(t) * v1)            # fl(t * v1)
+        f = float(Fraction(a) * v0 + Fraction(p))   # fma: one rounding
+        fma_vals[i] = f
+        m_exact[i] = int(f) // line
+    # the sweep must actually cross the boundary
+    assert m_exact.min() == 2 and m_exact.max() == 3
+    # device index is m or m+1 everywhere => |pos - true| <= line for
+    # every true offset the fit could have certified
+    assert ((m_dev == m_exact) | (m_dev == m_exact + 1)).all()
+    # and agrees exactly once clear of the eps window
+    far = np.abs(fma_vals - 24.0) > 1e-6
+    np.testing.assert_array_equal(m_dev[far], m_exact[far])
+
+    # --- part 2: end-to-end on the fit-divergence dataset class
+    rng = np.random.default_rng(7)
+    gaps = rng.exponential(size=20_000)
+    csum = np.cumsum(gaps)
+    keys = np.unique(np.maximum(
+        (csum * (2.0 ** 56 / csum[-1])).astype(np.uint64), np.uint64(1)))
+    ds = RMIDataset.from_numpy(keys)
+    res = train_bounded(ds, "linear_spline,linear", 128, 8)
+    pos, err = lookup(res, ds.keys)
+    lb = np.searchsorted(keys, keys)
+    assert (np.abs(np.asarray(pos, np.int64) - lb) <= 8).all()
+    idx = np.asarray(search(res, ds.keys, keys=ds.keys))
+    np.testing.assert_array_equal(idx, lb)
+
+
 def test_bounded_u32_promotes(rng):
     keys = np.sort(rng.integers(10, 2**30, size=2000).astype(np.uint32))
     ds = RMIDataset.from_numpy(keys)
