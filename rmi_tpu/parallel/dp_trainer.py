@@ -225,12 +225,20 @@ def _predict_cubic(params, idx, x):
     return ((a * x + b) * x + c) * x + d
 
 
-def _global_bitword_reduce(ki_local):
+def _global_bitword_reduce(ki_local, is_pad=None):
     """(OR, AND) of the u64 key words across all shards
-    (common_prefix_size, utils.rs:23-36)."""
-    any_ones = jax.lax.reduce(ki_local, jnp.uint64(0),
+    (common_prefix_size, utils.rs:23-36).  Pad sentinels (appended by
+    dp_train_two_layer for non-divisible n) are masked to the reduce
+    identities so they cannot widen/narrow the common prefix."""
+    if is_pad is not None:
+        ones = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        ki_or = jnp.where(is_pad, jnp.uint64(0), ki_local)
+        ki_and = jnp.where(is_pad, ones, ki_local)
+    else:
+        ki_or = ki_and = ki_local
+    any_ones = jax.lax.reduce(ki_or, jnp.uint64(0),
                               jax.lax.bitwise_or, (0,))
-    no_ones = jax.lax.reduce(ki_local, jnp.uint64(0xFFFFFFFFFFFFFFFF),
+    no_ones = jax.lax.reduce(ki_and, jnp.uint64(0xFFFFFFFFFFFFFFFF),
                              jax.lax.bitwise_and, (0,))
     ors = jax.lax.all_gather(any_ones, AXIS)
     ands = jax.lax.all_gather(no_ones, AXIS)
@@ -529,6 +537,16 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
              key_type):
     m = keys_local.shape[0]
     off = _offset(m)
+    # Pad lanes: dp_train_two_layer appends max-key sentinels so every
+    # shard is the same size when n doesn't divide the mesh.  All
+    # POSITIONAL reductions (global_range_sum / global_value_at over
+    # spans bounded by n) exclude them for free — pads live past global
+    # index n-1 at the tail of the last shard.  The remaining places
+    # where pads could leak are masked explicitly below: the bitword
+    # reduce (radix/bradix prefix), bradix bucket counts, the leaf
+    # assignment (forced to B-1 so spans/searchsorted stay consistent),
+    # the error sweep, and duplicate-run counting.
+    is_pad = (off + jnp.arange(m, dtype=jnp.int64)) >= n
     # normalized key domain (see rmi_tpu.convert): accuracy + emulated-
     # f64 range safety
     xraw = keymod.as_float(keys_local)
@@ -590,7 +608,7 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
         largest = global_value_at(
             ys_scaled, jnp.full((1,), n - 1, jnp.int64))[0]
         bits = num_bits_device(largest.astype(jnp.uint64))
-        prefix = _global_bitword_reduce(ki)
+        prefix = _global_bitword_reduce(ki, is_pad)
         res = _shr(_shl(ki, prefix), jnp.uint64(64) - bits)
         top_pred = None
         t_int = jnp.where(bits == 0, jnp.uint64(0), res)
@@ -603,7 +621,7 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
             ys_scaled, jnp.full((1,), n - 1, jnp.int64))[0]
         max_output = largest.astype(jnp.uint64)
         bits = num_bits_device(max_output)
-        prefix = _global_bitword_reduce(ki)
+        prefix = _global_bitword_reduce(ki, is_pad)
         one = jnp.uint64(1)
         scores, cands = [], []
         for db in (0, 1):
@@ -616,6 +634,10 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
                                         jnp.asarray(high))
                 bb = jnp.minimum(bucket, jnp.maximum(
                     max_output, jnp.uint64(1)) - 1)
+                # pad lanes -> bucket B: sorted (pads sit at the tail
+                # with the largest keys) and outside every edge window,
+                # so they never enter the chi^2 occupancy counts
+                bb = jnp.where(is_pad, jnp.uint64(B), bb)
                 edges = jnp.arange(B + 1, dtype=jnp.uint64)
                 counts = global_searchsorted(bb, edges, "left")
                 cnts = (counts[1:] - counts[:B]).astype(jnp.float64)
@@ -653,6 +675,11 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
             t_int, jnp.uint64(B - 1)).astype(jnp.int32)
     else:
         t_local = _predict_clamped_f(top_pred, B - 1).astype(jnp.int32)
+    # pad lanes route to the last leaf: keeps t_local globally sorted
+    # (a NaN top prediction would clamp pads to leaf 0) while the
+    # positional span bound ends[B-1] = n still excludes them from
+    # every per-leaf range sum
+    t_local = jnp.where(is_pad, jnp.int32(B - 1), t_local)
 
     # --- global spans
     leaf_ids = jnp.arange(B, dtype=jnp.int32)
@@ -695,7 +722,11 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
 
     run_start, run_end = dist_run_bounds(keys_local, changed, n)
     run_len = run_end - run_start + 1
-    counted = jnp.where(run_end < n - 1, run_len, 0)
+    # a real trailing run that merges into equal-valued pads gets
+    # run_end >= n-1 and is excluded below exactly like the reference's
+    # last-run rule (two_layer.rs: runs ending at n-1 don't count);
+    # pad lanes themselves are masked outright
+    counted = jnp.where((run_end < n - 1) & ~is_pad, run_len, 0)
     local_max = jax.ops.segment_max(counted, t_local, num_segments=B,
                                     indices_are_sorted=True)
     longest_run = jnp.maximum(jax.lax.pmax(local_max, AXIS), 0)
@@ -729,6 +760,7 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
     leaf_in = xraw if leaf_type == "lognormal" else xf
     pred = _predict_clamped_f(predict(leaf_params, t_local, leaf_in), n)
     err = jnp.abs(pred - jnp.minimum(yfix_local, n))
+    err = jnp.where(is_pad, 0, err)
     local_err = jax.ops.segment_max(err, t_local, num_segments=B,
                                     indices_are_sorted=True)
     max_err = jnp.maximum(jax.lax.pmax(local_err, AXIS), 0)
@@ -770,8 +802,12 @@ def _dp_core(keys_local, kminf, snorm, *, top_type, leaf_type, B, n,
 
 def dp_train_two_layer(keys, key_type: KeyType, top_type: str,
                        leaf_type: str, B: int, mesh: Mesh):
-    """Data-parallel two-layer build; ``keys`` length must divide the
-    mesh size (shard evenly)."""
+    """Data-parallel two-layer build for ARBITRARY ``n``: when n doesn't
+    divide the mesh size, the sharded array is padded with max-key
+    sentinels (sortedness preserved) which _dp_core masks out of every
+    fit, scan, and metric — real key arrays are never device-count
+    divisible and the reference has no such constraint (it streams in
+    one process)."""
     if top_type not in DP_TOP_MODELS:
         raise NotImplementedError(
             f"dp trainer supports tops {DP_TOP_MODELS}; use the "
@@ -779,13 +815,19 @@ def dp_train_two_layer(keys, key_type: KeyType, top_type: str,
     if leaf_type not in DP_LEAF_MODELS:
         raise NotImplementedError(
             f"dp trainer supports leaves {DP_LEAF_MODELS}")
-    n = keys.shape[0]
+    n = int(keys.shape[0])
     ndev = mesh.devices.size
-    if n % ndev != 0:
-        raise ValueError(f"n={n} must divide the mesh size {ndev}")
+    if n == 0:
+        raise ValueError("cannot train on an empty key array")
+    npad = (-n) % ndev
+    if npad:
+        keys = jnp.concatenate([
+            jnp.asarray(keys),
+            jnp.full((npad,), key_type.max_value,
+                     dtype=jnp.asarray(keys).dtype)])
 
     from rmi_tpu.train.two_layer import norm_constants
-    kminf, snorm = norm_constants(keys, key_type)
+    kminf, snorm = norm_constants(keys[:n], key_type)
 
     core = functools.partial(_dp_core, top_type=top_type,
                              leaf_type=leaf_type, B=int(B), n=n,

@@ -63,10 +63,59 @@ def test_dp_matches_single_chip(mesh, rng, top, leaf, B, kind):
         res.model_avg_log2_error, rtol=1e-6)
 
 
-def test_dp_requires_divisible(mesh):
-    keys = jnp.arange(1001, dtype=jnp.uint64)
-    with pytest.raises(ValueError):
-        dp_train_two_layer(keys, KeyType.U64, "linear", "linear", 16, mesh)
+@pytest.mark.parametrize("n", [1001, 4093, 4099, 37])
+def test_dp_any_n(mesh, rng, n):
+    """Non-device-divisible n: the pad-and-mask path must match the
+    single-chip build (real key arrays are never divisible by the chip
+    count; the reference streams in one process and has no such
+    constraint)."""
+    B = 16 if n < 100 else 64
+    keys = np.sort(rng.integers(0, 2**40, size=n, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "cubic,linear", B)
+    top_p, leaf_p, errs, metrics = dp_train_two_layer(
+        ds.keys, ds.key_type, "cubic", "linear", B, mesh)
+    e1 = np.asarray(res.leaf_errors).astype(np.int64)
+    e2 = np.asarray(errs).astype(np.int64)
+    assert np.abs(e1 - e2).max() <= 1
+    np.testing.assert_allclose(
+        float(metrics["model_avg_log2_error"]),
+        res.model_avg_log2_error, rtol=1e-6)
+
+
+@pytest.mark.parametrize("top", ["radix", "bradix", "histogram"])
+def test_dp_any_n_masked_tops(mesh, rng, top):
+    """Non-divisible n with the tops whose reductions need explicit pad
+    masks (bitword OR/AND prefix, bradix chi^2 bucket counts) — an
+    unmasked all-ones pad key would zero the common prefix and inflate
+    the top chi^2 bucket."""
+    n, B = 4099, 64
+    keys = np.sort(rng.integers(1, 2**40, size=n, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, f"{top},linear", B)
+    top_p, leaf_p, errs, _ = dp_train_two_layer(
+        ds.keys, ds.key_type, top, "linear", B, mesh)
+    e1 = np.asarray(res.leaf_errors).astype(np.int64)
+    e2 = np.asarray(errs).astype(np.int64)
+    assert np.abs(e1 - e2).max() <= 1, (top, np.abs(e1 - e2).max())
+
+
+def test_dp_any_n_max_key_tail(mesh):
+    """Adversarial pad-merge case: the array ENDS in a duplicate run of
+    the u64 maximum — pad sentinels take the same value and would merge
+    into the trailing run; that run must stay excluded from the
+    longest-run inflation exactly like the reference's last-run rule."""
+    rng = np.random.default_rng(99)
+    n, B = 4001, 32
+    keys = np.sort(rng.integers(0, 2**40, size=n, dtype=np.uint64))
+    keys[-7:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    ds = RMIDataset.from_numpy(keys)
+    res = train(ds, "linear,linear", B)
+    top_p, leaf_p, errs, _ = dp_train_two_layer(
+        ds.keys, ds.key_type, "linear", "linear", B, mesh)
+    e1 = np.asarray(res.leaf_errors).astype(np.int64)
+    e2 = np.asarray(errs).astype(np.int64)
+    assert np.abs(e1 - e2).max() <= 1
 
 
 def test_sharded_serving(mesh, rng):
