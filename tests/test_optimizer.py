@@ -63,6 +63,28 @@ def test_profiles(monkeypatch):
         top_only_layers()
 
 
+def test_bucket_for_disk_tier(monkeypatch):
+    """The disk profile's branching range reaches 2^27
+    (optimizer.rs:44-57); every disk-profile factor must land in a
+    bucket >= itself, with the 2^25..2^27 points each getting their own
+    next-pow2 bucket above the last shared tier."""
+    from rmi_tpu.optimizer import bucket_for, _GRID_BUCKET_TIERS
+
+    monkeypatch.setenv("RMI_OPTIMIZER_PROFILE", "disk")
+    bfs = branching_factors()
+    assert bfs[-1] == 1 << 27
+    for b in bfs:
+        bucket = bucket_for([b])
+        assert bucket >= b
+        if b <= _GRID_BUCKET_TIERS[-1]:
+            assert bucket in _GRID_BUCKET_TIERS
+        else:
+            assert bucket == b          # pow2 factors: own bucket
+    assert bucket_for([1 << 27]) == 1 << 27
+    assert bucket_for([(1 << 26) + 1]) == 1 << 27
+    assert bucket_for([1 << 21, 1 << 27]) == 1 << 27
+
+
 def test_first_phase_every_5th(monkeypatch):
     monkeypatch.delenv("RMI_OPTIMIZER_PROFILE", raising=False)
     configs = first_phase_configs()
