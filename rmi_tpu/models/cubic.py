@@ -203,24 +203,40 @@ def _fit_cubic_ranges(xf, yf, spans, keys_f, xf_raw, ep_yf=None,
 _L1_CHUNK = 1 << 25
 
 
+def _chunk_leaf_ranges(t, B: int):
+    """Per-leaf interior spans derived from the sorted leaf-id vector:
+    {i : t[i] == j} == [starts[j], ends[j])."""
+    starts = jnp.searchsorted(t, jnp.arange(B, dtype=t.dtype),
+                              side="left")
+    ends = jnp.concatenate(
+        [starts[1:], jnp.full((1,), t.shape[0], starts.dtype)])
+    return starts, ends
+
+
 def _l1_interior_chunked(t, xf, yf, channels, *, B: int, span: int,
                          chunk: int = None):
     """Per-leaf interior |pred - y| sums for the cubic-vs-linear_spline
     comparison, swept over the key axis in fixed-size chunks.
 
     The augmented-span interior [starts[j], ends[j]) is exactly
-    {i : t[i] == j}, so the interior range_sum equals a segment_sum by
-    t accumulated across chunks.  The tail chunk is clamped to
-    [n - chunk, n) with already-counted elements masked out.
+    {i : t[i] == j}, so each chunk contributes the range sum over the
+    leaf's span CLIPPED to the chunk — computed with the blocked
+    partial-sum solver (segments.range_sum_blocked).  A scatter-based
+    segment_sum here costs ~1s/2^25-chunk on TPU (the 38s cubic-leaf
+    builds of FAMILIES_200M round 4); the blocked range sums are pure
+    reductions + tiny row gathers.  The tail chunk is clamped to
+    [n - chunk, n) with already-counted elements excluded by the range
+    lower bound.
     """
-    import jax
     from jax import lax
     from rmi_tpu.ops.select_kernel import window_select
+    from rmi_tpu.utils.segments import range_sum_blocked
 
     if chunk is None:
         chunk = _L1_CHUNK          # read at call time (testable)
     n = t.shape[0]
     nchunks = -(-n // chunk)
+    starts, ends = _chunk_leaf_ranges(t, B)
 
     def body(ci, acc):
         c_acc, l_acc, ovf_acc = acc
@@ -229,17 +245,17 @@ def _l1_interior_chunked(t, xf, yf, channels, *, B: int, span: int,
         tc = lax.dynamic_slice(t, (start,), (chunk,))
         xc = lax.dynamic_slice(xf, (start,), (chunk,))
         yc = lax.dynamic_slice(yf, (start,), (chunk,))
-        fresh = (start + jnp.arange(chunk)) >= fresh0
         sel, ovf_c = window_select(tc, channels, B=B, span=span)
         ca, cb_, cc_, cd, la, lb = sel
         pred_c = ((ca * xc + cb_) * xc + cc_) * xc + cd
         pred_l = lb * xc + la
-        dc = jnp.where(fresh, jnp.abs(pred_c - yc), 0.0)
-        dl = jnp.where(fresh, jnp.abs(pred_l - yc), 0.0)
-        ce = jax.ops.segment_sum(dc, tc, num_segments=B,
-                                 indices_are_sorted=True)
-        le = jax.ops.segment_sum(dl, tc, num_segments=B,
-                                 indices_are_sorted=True)
+        dc = jnp.abs(pred_c - yc)
+        dl = jnp.abs(pred_l - yc)
+        lo = jnp.clip(starts - start, fresh0 - start, chunk)
+        hi = jnp.clip(ends - start, fresh0 - start, chunk)
+        hi = jnp.maximum(hi, lo)
+        ce = range_sum_blocked(dc, lo, hi)
+        le = range_sum_blocked(dl, lo, hi)
         return (c_acc + ce, l_acc + le,
                 jnp.maximum(ovf_acc, ovf_c.astype(jnp.int32)))
 
@@ -252,14 +268,17 @@ def _l1_interior_chunked(t, xf, yf, channels, *, B: int, span: int,
 def _abs_err_interior_chunked(params, predict, xf, yf, t, *, B: int,
                               chunk: int = None):
     """Chunked twin of the _abs_err_sum interior (gather-based
-    candidate predictions) for n > _L1_CHUNK."""
-    import jax
+    candidate predictions) for n > _L1_CHUNK; per-chunk clipped range
+    sums for the same scatter-avoidance reason as
+    _l1_interior_chunked."""
     from jax import lax
+    from rmi_tpu.utils.segments import range_sum_blocked
 
     if chunk is None:
         chunk = _L1_CHUNK          # read at call time (testable)
     n = t.shape[0]
     nchunks = -(-n // chunk)
+    starts, ends = _chunk_leaf_ranges(t, B)
 
     def body(ci, acc):
         start = jnp.minimum(ci * chunk, n - chunk)
@@ -267,10 +286,11 @@ def _abs_err_interior_chunked(params, predict, xf, yf, t, *, B: int,
         tc = lax.dynamic_slice(t, (start,), (chunk,))
         xc = lax.dynamic_slice(xf, (start,), (chunk,))
         yc = lax.dynamic_slice(yf, (start,), (chunk,))
-        fresh = (start + jnp.arange(chunk)) >= fresh0
-        d = jnp.where(fresh, jnp.abs(predict(params, tc, xc) - yc), 0.0)
-        return acc + jax.ops.segment_sum(d, tc, num_segments=B,
-                                         indices_are_sorted=True)
+        d = jnp.abs(predict(params, tc, xc) - yc)
+        lo = jnp.clip(starts - start, fresh0 - start, chunk)
+        hi = jnp.clip(ends - start, fresh0 - start, chunk)
+        hi = jnp.maximum(hi, lo)
+        return acc + range_sum_blocked(d, lo, hi)
 
     return lax.fori_loop(0, nchunks, body, jnp.zeros((B,), jnp.float64))
 

@@ -226,15 +226,18 @@ def _masked_slr_chunked(xf, y_raw, spans, chunk: int = None):
     count/sums, then centered moments).
 
     The augmented-span interior [starts[j], ends[j]) is exactly
-    {i : t[i] == j}, so interior sums are segment_sums by t accumulated
-    across chunks; the at-most-two overlap elements per leaf
-    (starts[j]-1 when has_prev, ends[j] when has_next — the reference's
-    spilled neighbor points, two_layer.rs:52-82) are added with O(B)
-    direct gathers.  Drop semantics match _log_targets: elements whose
-    ln(y) is non-finite get weight 0 (linear.rs:63-67).
+    {i : t[i] == j}, so each chunk contributes the blocked range sum
+    over the leaf's span CLIPPED to the chunk (a scatter-based
+    segment_sum here costs ~1s/2^25-chunk on TPU — the same class as
+    the 38s cubic-leaf L1 sweep of FAMILIES_200M round 4); the
+    at-most-two overlap elements per leaf (starts[j]-1 when has_prev,
+    ends[j] when has_next — the reference's spilled neighbor points,
+    two_layer.rs:52-82) are added with O(B) direct gathers.  Drop
+    semantics match _log_targets: elements whose ln(y) is non-finite
+    get weight 0 (linear.rs:63-67).
     """
-    import jax
     from jax import lax
+    from rmi_tpu.utils.segments import range_sum_blocked
 
     if chunk is None:
         chunk = _MASKED_FIT_CHUNK      # read at call time (testable)
@@ -251,15 +254,15 @@ def _masked_slr_chunked(xf, y_raw, spans, chunk: int = None):
         xc = lax.dynamic_slice(xf, (start,), (chunk,))
         yc = lax.dynamic_slice(y_raw, (start,), (chunk,))
         tc = lax.dynamic_slice(spans.t, (start,), (chunk,))
-        fresh = (start + jnp.arange(chunk)) >= ci * chunk
         ln = jnp.log(yc)
-        keep = jnp.isfinite(ln) & fresh
+        keep = jnp.isfinite(ln)
         w = keep.astype(jnp.float64)
-        return xc, jnp.where(keep, ln, 0.0), tc, w
-
-    def seg_sum(v, tc):
-        return jax.ops.segment_sum(v, tc, num_segments=B,
-                                   indices_are_sorted=True)
+        # already-counted tail-chunk elements are excluded by the range
+        # lower bound below, not by a mask
+        lo = jnp.clip(spans.starts - start, ci * chunk - start, chunk)
+        hi = jnp.clip(spans.ends - start, ci * chunk - start, chunk)
+        hi = jnp.maximum(hi, lo)
+        return xc, jnp.where(keep, ln, 0.0), tc, w, lo, hi
 
     def edge_vals(idx, present):
         i = jnp.clip(idx, 0, n - 1)
@@ -273,10 +276,11 @@ def _masked_slr_chunked(xf, y_raw, spans, chunk: int = None):
 
     def body1(ci, acc):
         cnt_a, sx_a, sy_a = acc
-        xc, lnc, tc, w = chunk_views(ci)
-        return (cnt_a + seg_sum(w, tc),
-                sx_a + seg_sum(w * xc, tc),
-                sy_a + seg_sum(lnc, tc))      # lnc is 0 where dropped
+        xc, lnc, tc, w, lo, hi = chunk_views(ci)
+        return (cnt_a + range_sum_blocked(w, lo, hi),
+                sx_a + range_sum_blocked(w * xc, lo, hi),
+                # lnc is 0 where dropped
+                sy_a + range_sum_blocked(lnc, lo, hi))
 
     z = jnp.zeros((B,), jnp.float64)
     cnt, sx, sy = lax.fori_loop(0, nchunks, body1, (z, z, z))
@@ -290,10 +294,11 @@ def _masked_slr_chunked(xf, y_raw, spans, chunk: int = None):
 
     def body2(ci, acc):
         m2_a, c_a = acc
-        xc, lnc, tc, w = chunk_views(ci)
+        xc, lnc, tc, w, lo, hi = chunk_views(ci)
         dx = (xc - mean_x[tc]) * w
         dy = (lnc - mean_y[tc]) * w
-        return m2_a + seg_sum(dx * dx, tc), c_a + seg_sum(dx * dy, tc)
+        return (m2_a + range_sum_blocked(dx * dx, lo, hi),
+                c_a + range_sum_blocked(dx * dy, lo, hi))
 
     m2, c = lax.fori_loop(0, nchunks, body2, (z, z))
     dxp = (exp_ - mean_x) * wp

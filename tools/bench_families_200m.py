@@ -94,6 +94,7 @@ def run_one(name: str, ebr: int, n: int, nq: int, iters: int) -> dict:
     plan = lookup_fast.get_plan(r0)
     return {
         "serve_mps": round(rate / 1e6, 2),
+        "nq": nq,
         "plan": plan.kind,
         "build_s": round(warm, 3),
         "build_cold_s": round(cold, 2),
