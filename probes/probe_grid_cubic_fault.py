@@ -23,6 +23,12 @@ defaults: n = 48_000_000 (> 2^25, well inside HBM), bucket = 2^21.
 Exit 0 with a metrics line = no fault (grid_safe exclusion can be
 dropped); a TPU worker crash / SIGSEGV = the fault is back — re-route
 cubic leaves through optimizer.grid_safe and record the trigger here.
+
+RESULT (2026-08-20, round 5, tunneled v5e-lite): PASSED at the
+defaults — b=65536 avg_log2=5.5816/max_err=91, b=262144 4.6692/47,
+b=2097152 3.4890/42, grid in 307s incl. cold compiles, no fault.
+The cubic exclusion in optimizer.grid_safe was retired on this
+evidence.
 """
 import os
 import sys

@@ -237,16 +237,21 @@ def grid_measurable(models: str) -> bool:
 
 
 def grid_safe(models: str, n: int) -> bool:
-    """grid_measurable minus a shape class that faults the device:
-    cubic-LEAF B-generic points at chunked-sweep scale (n > 2^25)
-    reproducibly crashed the tunneled TPU worker (kernel fault, round
-    4 — linear/robust_linear tops with the same n, bucket, and b_dyn
-    ran clean, and the cubic-leaf per-build Pallas path runs clean at
-    200M).  Those pairs are measured per-build instead."""
-    if not grid_measurable(models):
-        return False
-    leaf = models.split(",")[1]
-    return not (leaf == "cubic" and n > (1 << 25))
+    """Device-safety filter on top of grid_measurable; pairs that fail
+    it are measured per-build instead (optimizer.rs semantics are
+    unaffected — only the measurement strategy changes).
+
+    History: cubic-LEAF B-generic points at chunked-sweep scale
+    (n > 2^25) reproducibly crashed the tunneled TPU worker in round
+    4.  Root cause was the per-chunk ``jax.ops.segment_sum``
+    scatter-add in the chunked L1 fallback-comparison sweep
+    (models/cubic.py); it was replaced with clipped blocked range
+    sums, and probes/probe_grid_cubic_fault.py now runs the exact
+    faulting shape class clean (48M keys, cubic leaves, b up to 2^21)
+    — so the cubic exclusion is retired.  The probe is the
+    re-qualification gate if the fault ever returns under a toolchain
+    update."""
+    return grid_measurable(models)
 
 
 def _compile_threads(njobs: int) -> int:
