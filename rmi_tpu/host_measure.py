@@ -1,0 +1,128 @@
+"""Host-RAM measurement of optimizer grid points that exceed chip HBM.
+
+The disk profile enumerates branching factors up to 2^27
+(/root/reference/rmi_lib/src/optimizer.rs:44-57).  A 16GB chip cannot
+hold the build working set for those tiers at n=200M: the grid program
+carries ~60B/key of n-scale f64 temporaries plus ~80B/leaf of
+bucket-scale arrays, and probes/probe_disk_capacity.py measured the
+2^24 bucket passing (~13.3GB modeled) while 2^25 crashes the TPU
+worker and 2^26/2^27 fail outright — and the per-build Pallas path
+fails the same tiers at the remote-compile step.  The reference has no
+such wall because it streams from mmap and keeps only b-scale model
+state in RAM (two_layer.rs:20-99).
+
+So giant-tier grid points degrade to THIS module: a fresh subprocess
+pinned to the CPU backend trains the point in host RAM (125GB here)
+with the exact XLA-f64 monolith the grid uses, and reports the same
+optimizer metrics.  The parent writes the key array to a temp SOSD
+file once and fans the configs into one subprocess (sequential inside:
+the host is single-core and each build's working set is ~14GB+).
+
+The subprocess must flip the backend BEFORE first device use — the
+container's sitecustomize force-registers the tunneled TPU, so env
+JAX_PLATFORMS=cpu alone is ignored; ``jax.config.update`` is the
+reliable override (same pattern as tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from typing import List, Sequence, Tuple
+
+
+class HostMeasurement:
+    """A launched host-side measurement subprocess.  ``wait()`` joins it
+    and returns one dict per config (order preserved):
+    {models, branching_factor, avg_log2, max_log2, wall_s}.
+    """
+
+    def __init__(self, data, configs: Sequence[Tuple[str, int]],
+                 timeout_s: int):
+        import numpy as np
+
+        from rmi_tpu.data import write_sosd_file
+
+        self.configs = list(configs)
+        self.timeout_s = timeout_s
+        # KeyType.value is the filename token from_filename dispatches
+        # on (src/main.rs:122-132): uint32 / uint64 / f64
+        fd, self.path = tempfile.mkstemp(suffix=f"_{data.key_type.value}",
+                                         prefix="rmi_host_")
+        os.close(fd)
+        write_sosd_file(self.path, np.asarray(data.keys))
+        spec = json.dumps([[m, int(b)] for m, b in self.configs])
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"  # belt; the braces are in main()
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "rmi_tpu.host_measure",
+             self.path, spec],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def wait(self) -> List[dict]:
+        try:
+            stdout, stderr = self.proc.communicate(timeout=self.timeout_s)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            stdout, stderr = self.proc.communicate()
+        finally:
+            os.unlink(self.path)
+        rows = [json.loads(ln[len("RESULT "):])
+                for ln in stdout.splitlines()
+                if ln.startswith("RESULT ")]
+        if len(rows) != len(self.configs):
+            tail = (stdout + stderr).strip().splitlines()[-8:]
+            raise RuntimeError(
+                f"host measurement returned {len(rows)}/"
+                f"{len(self.configs)} rows (rc={self.proc.returncode}): "
+                + " | ".join(tail))
+        return rows
+
+
+def launch_measure_host(data, configs: Sequence[Tuple[str, int]],
+                        timeout_s: int = 7200) -> HostMeasurement:
+    """Start measuring ``configs`` on the host CPU backend in a fresh
+    subprocess, WITHOUT blocking — the caller overlaps on-chip grid
+    measurement and joins with ``.wait()``."""
+    return HostMeasurement(data, configs, timeout_s)
+
+
+def measure_host(data, configs: Sequence[Tuple[str, int]],
+                 timeout_s: int = 7200) -> List[dict]:
+    """Blocking convenience wrapper around launch_measure_host."""
+    return launch_measure_host(data, configs, timeout_s).wait()
+
+
+def main(argv: Sequence[str]) -> int:
+    path, spec = argv[0], argv[1]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    import time
+
+    from rmi_tpu.data import load_data
+    from rmi_tpu.train.api import _fetch_host, train_async
+
+    data = load_data(path)
+    configs = [(m, int(b)) for m, b in json.loads(spec)]
+    for models, bf in configs:
+        t0 = time.time()
+        p = train_async(data, models, bf)
+        (h,) = _fetch_host([p.fetchable()])
+        res = p.result(prefetched=h)
+        print("RESULT " + json.dumps({
+            "models": models, "branching_factor": bf,
+            "avg_log2": res.model_avg_log2_error,
+            "max_log2": res.model_max_log2_error,
+            "wall_s": round(time.time() - t0, 1),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

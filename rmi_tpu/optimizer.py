@@ -236,6 +236,43 @@ def grid_measurable(models: str) -> bool:
     return top in _B_GENERIC_TOPS and leaf in _B_GENERIC_LEAVES
 
 
+# HBM capacity model for one grid program (the disk profile's giant
+# branching factors, optimizer.rs:44-57 reach 2^27).  Measured on the
+# 16GB chip at n=200M (probes/probe_disk_capacity.py): bucket 2^24
+# passes, 2^25 crashes the TPU worker, 2^26/2^27 fail outright — and
+# the per-build Pallas path fails the same tiers at the remote-compile
+# step, so per-build is NOT a viable degradation.  A grid program's
+# working set is ~60B/key of n-scale f64 temporaries (keys, FixDups,
+# xraw/xn, scaled targets, per-key err/leaf ids) plus ~80B/leaf of
+# bucket-scale arrays (spans, params, LB fills, final errors + fit
+# temporaries); the 13GiB budget sits between the measured pass
+# (13.34e9 B modeled) and crash (14.68e9 B) points.  Over-budget
+# points degrade to a
+# host-RAM CPU-backend build (rmi_tpu.host_measure) — the reference
+# itself is a host-RAM program (mmap streaming, two_layer.rs:20-99),
+# so this degradation keeps its semantics, just not its placement.
+_GRID_N_BYTES = 60
+_GRID_B_BYTES = 80
+
+
+def _grid_hbm_budget() -> int:
+    gb = float(os.environ.get("RMI_GRID_HBM_GB", "13"))
+    return int(gb * (1 << 30))
+
+
+def grid_bucket_fits(n: int, bucket: int) -> bool:
+    """Whether one B-generic grid program at pad bucket ``bucket`` fits
+    the chip at ``n`` keys.  On CPU backends the guard is off (host
+    builds page from ordinary RAM) unless RMI_GRID_HBM_GB is set
+    explicitly (which is how tests exercise the routing)."""
+    if os.environ.get("RMI_GRID_HBM_GB") is None:
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            return True
+    return (_GRID_N_BYTES * n + _GRID_B_BYTES * bucket
+            <= _grid_hbm_budget())
+
+
 def grid_safe(models: str, n: int) -> bool:
     """Device-safety filter on top of grid_measurable; pairs that fail
     it are measured per-build instead (optimizer.rs semantics are
@@ -374,18 +411,45 @@ def _find_pareto_bucketed(data, restrict, progress, reuse_phase1):
     n = data.n
 
     def measure_phase(cfg):
-        """Grid-safe pairs through the B-bucketed grid; the rest
-        per-build (train_async — the df64 Pallas path at scale)."""
-        grid_cfg = [c for c in cfg if grid_safe(c[0], n)]
-        pb_cfg = [c for c in cfg if not grid_safe(c[0], n)]
+        """Grid-safe pairs through the B-bucketed grid; giant branching
+        factors over the HBM capacity model through the host-RAM CPU
+        build (rmi_tpu.host_measure); the rest per-build (train_async —
+        the df64 Pallas path at scale)."""
+        grid_cfg, host_cfg, pb_cfg = [], [], []
+        for c in cfg:
+            if not grid_bucket_fits(n, bucket_for([c[1]])):
+                host_cfg.append(c)
+            elif grid_safe(c[0], n):
+                grid_cfg.append(c)
+            else:
+                pb_cfg.append(c)
         stats = {}
+        host_pending = None
+        if host_cfg:
+            import logging
+            logging.getLogger("rmi_tpu").info(
+                "capacity guard: %d grid point(s) exceed the %.1fGB "
+                "HBM budget at n=%d; measuring in host RAM (%s)",
+                len(host_cfg), _grid_hbm_budget() / (1 << 30), n,
+                ", ".join(f"{m}@{b}" for m, b in host_cfg))
+            from rmi_tpu.host_measure import launch_measure_host
+            host_pending = launch_measure_host(data, host_cfg)
         if grid_cfg:
-            stats = grid_measure_rmis(
+            stats.update(grid_measure_rmis(
                 data, _ordered_unique(m for m, _ in grid_cfg),
-                _ordered_unique(b for _, b in grid_cfg))
+                _ordered_unique(b for _, b in grid_cfg)))
         if pb_cfg:
             for st in measure_rmis(data, pb_cfg):
                 stats[(st.models, st.branching_factor)] = st
+        if host_pending is not None:
+            from rmi_tpu.serialize import predicted_rmi_size
+            for row in host_pending.wait():
+                key = (row["models"], row["branching_factor"])
+                stats[key] = RMIStatistics(
+                    models=key[0], branching_factor=key[1],
+                    average_log2_error=row["avg_log2"],
+                    max_log2_error=row["max_log2"],
+                    size=predicted_rmi_size(key[0], key[1]))
         return [stats[c] for c in cfg]
 
     cfg1 = first_phase_configs()

@@ -272,3 +272,65 @@ def test_grid_measure_single_fetch(monkeypatch, rng):
     stats = optimizer.grid_measure_rmis(ds, pairs, bfs)
     assert len(fetches) == 1
     assert set(stats) == {(m, b) for m in pairs for b in bfs}
+
+
+# ---------------------------------------------------------------------------
+# HBM capacity guard (disk-profile giant branching factors)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.quick
+def test_grid_bucket_fits_200m_tiers(monkeypatch):
+    """Pin the measured 200M capacity boundary
+    (probes/probe_disk_capacity.py on the 16GB chip): the 2^24 bucket
+    passes, 2^25 crashes the worker, 2^26/2^27 fail outright — the
+    footprint model must classify all four tiers accordingly."""
+    from rmi_tpu.optimizer import grid_bucket_fits
+    monkeypatch.setenv("RMI_GRID_HBM_GB", "13")  # force model on CPU
+    n = 200_000_000
+    assert grid_bucket_fits(n, 1 << 24)
+    assert not grid_bucket_fits(n, 1 << 25)
+    assert not grid_bucket_fits(n, 1 << 26)
+    assert not grid_bucket_fits(n, 1 << 27)
+    # small n: even the largest disk tier fits on-chip
+    assert grid_bucket_fits(25_000_000, 1 << 27)
+
+
+def test_capacity_guard_host_front_matches(monkeypatch, rng):
+    """Grid points over the HBM budget degrade to host-RAM CPU builds
+    (rmi_tpu.host_measure); the selected Pareto front must be identical
+    to the all-on-device sweep."""
+    from rmi_tpu import optimizer
+    from rmi_tpu.data import RMIDataset
+    monkeypatch.setenv("RMI_OPTIMIZER_PROFILE", "fast")
+    monkeypatch.setenv("RMI_OPT_BUCKETED", "1")
+    monkeypatch.setattr(optimizer, "branching_factors",
+                        lambda: [2**i for i in range(4, 12, 2)])
+    keys = np.sort(rng.integers(0, 2**40, size=5000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+
+    all_grid = find_pareto_efficient_configs(ds, restrict=6)
+    # 50MB budget: every bucket (>= 2^21 tier ~ 168MB modeled) exceeds
+    # it, so EVERY point must route through the host subprocess
+    monkeypatch.setenv("RMI_GRID_HBM_GB", "0.05")
+    hosted = find_pareto_efficient_configs(ds, restrict=6)
+
+    assert ([(r.models, r.branching_factor, r.size) for r in all_grid]
+            == [(r.models, r.branching_factor, r.size) for r in hosted])
+    for a, b in zip(all_grid, hosted):
+        np.testing.assert_allclose(a.average_log2_error,
+                                   b.average_log2_error, rtol=2e-3)
+
+
+def test_measure_host_rows(rng):
+    """The host-measurement subprocess returns one metrics row per
+    config, order preserved, with finite metrics."""
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu.host_measure import measure_host
+    keys = np.sort(rng.integers(0, 2**40, size=3000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    cfgs = [("linear,linear", 64), ("cubic,linear", 128)]
+    rows = measure_host(ds, cfgs)
+    assert [(r["models"], r["branching_factor"]) for r in rows] == cfgs
+    for r in rows:
+        assert np.isfinite(r["avg_log2"])
+        assert r["avg_log2"] >= 0.0
