@@ -57,43 +57,59 @@ class HostMeasurement:
         spec = json.dumps([[m, int(b)] for m, b in self.configs])
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"  # belt; the braces are in main()
+        # stdout+stderr stream to a file (not a pipe) so multi-hour
+        # measurements are tail-able and can't block on pipe buffers
+        self.out_path = self.path + ".log"
+        self._out = open(self.out_path, "w")
         self.proc = subprocess.Popen(
             [sys.executable, "-m", "rmi_tpu.host_measure",
              self.path, spec],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            stdout=self._out, stderr=subprocess.STDOUT, text=True,
             env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     def wait(self) -> List[dict]:
         try:
-            stdout, stderr = self.proc.communicate(timeout=self.timeout_s)
+            self.proc.wait(timeout=self.timeout_s)
         except subprocess.TimeoutExpired:
             self.proc.kill()
-            stdout, stderr = self.proc.communicate()
+            self.proc.wait()
         finally:
+            self._out.close()
             os.unlink(self.path)
+        with open(self.out_path) as f:
+            out = f.read()
         rows = [json.loads(ln[len("RESULT "):])
-                for ln in stdout.splitlines()
+                for ln in out.splitlines()
                 if ln.startswith("RESULT ")]
         if len(rows) != len(self.configs):
-            tail = (stdout + stderr).strip().splitlines()[-8:]
+            tail = out.strip().splitlines()[-8:]
             raise RuntimeError(
                 f"host measurement returned {len(rows)}/"
                 f"{len(self.configs)} rows (rc={self.proc.returncode}): "
                 + " | ".join(tail))
+        os.unlink(self.out_path)
         return rows
 
 
+def _default_timeout(n_configs: int) -> int:
+    # one giant-tier 200M build measured at ~316s on this single-core
+    # host; budget generously per sequential config plus startup
+    return 1800 + 1800 * n_configs
+
+
 def launch_measure_host(data, configs: Sequence[Tuple[str, int]],
-                        timeout_s: int = 7200) -> HostMeasurement:
+                        timeout_s: int = None) -> HostMeasurement:
     """Start measuring ``configs`` on the host CPU backend in a fresh
     subprocess, WITHOUT blocking — the caller overlaps on-chip grid
     measurement and joins with ``.wait()``."""
+    if timeout_s is None:
+        timeout_s = _default_timeout(len(configs))
     return HostMeasurement(data, configs, timeout_s)
 
 
 def measure_host(data, configs: Sequence[Tuple[str, int]],
-                 timeout_s: int = 7200) -> List[dict]:
+                 timeout_s: int = None) -> List[dict]:
     """Blocking convenience wrapper around launch_measure_host."""
     return launch_measure_host(data, configs, timeout_s).wait()
 
@@ -111,6 +127,7 @@ def main(argv: Sequence[str]) -> int:
     data = load_data(path)
     configs = [(m, int(b)) for m, b in json.loads(spec)]
     for models, bf in configs:
+        print(f"START {models} {bf}", flush=True)
         t0 = time.time()
         p = train_async(data, models, bf)
         (h,) = _fetch_host([p.fetchable()])
