@@ -18,6 +18,18 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# RMI_FORCE_CPU=1 pins the CPU backend (host RAM) even when the
+# container's sitecustomize force-registers a TPU at interpreter start
+# (env JAX_PLATFORMS alone is ignored once that registration has run).
+# This is the documented escape hatch for direct builds whose working
+# set exceeds chip HBM — e.g. the disk profile's giant branching
+# factors, where per-build programs at B >= 2^24 fail the remote
+# compile at n=200M (probes/probe_disk_capacity.py); the optimizer
+# degrades those automatically (rmi_tpu.host_measure), a direct CLI
+# build opts in with this flag.
+if os.environ.get("RMI_FORCE_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 # Keep compilation deterministic and quiet in CI contexts.
 os.environ.setdefault("JAX_TRACEBACK_FILTERING", "auto")
 

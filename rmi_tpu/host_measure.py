@@ -56,7 +56,10 @@ class HostMeasurement:
         write_sosd_file(self.path, np.asarray(data.keys))
         spec = json.dumps([[m, int(b)] for m, b in self.configs])
         env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"  # belt; the braces are in main()
+        # belt (config.py honors RMI_FORCE_CPU at import) and braces
+        # (main() flips jax_platforms before first device use)
+        env["RMI_FORCE_CPU"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
         # stdout+stderr stream to a file (not a pipe) so multi-hour
         # measurements are tail-able and can't block on pipe buffers
         self.out_path = self.path + ".log"

@@ -128,3 +128,22 @@ def test_optimize_mode(tmp_path, dataset):
     assert set(c) >= {"layers", "branching factor", "namespace", "size",
                       "average log2 error", "binary"}
     assert "AvgLg2" in r.stdout  # optimizer table printed
+
+
+def test_force_cpu_pins_backend(tmp_path):
+    """RMI_FORCE_CPU=1 (config.py) must pin the CPU backend even where
+    the container's sitecustomize force-registers a TPU — the
+    documented escape hatch for direct builds over chip HBM (the disk
+    profile's giant branching factors)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("PYTHONPATH", None)  # keep any TPU plugin registration live
+    env["RMI_FORCE_CPU"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import rmi_tpu, jax; print('PLATFORM', "
+         "jax.devices()[0].platform)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "PLATFORM cpu" in r.stdout
