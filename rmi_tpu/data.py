@@ -62,6 +62,12 @@ class RMIDataset:
     keys: jax.Array          # [n] sorted, dtype = key_type
     key_type: KeyType
     _positions: Optional[jax.Array] = None  # [n] uint64, lazy
+    # On-disk origin when loaded from an SOSD file (load_data).  Lets
+    # host-RAM fallbacks (rmi_tpu.host_measure) reopen the data from
+    # disk instead of fetching the full key array back through the
+    # device tunnel — a 1.6GB device->host transfer that measured as a
+    # multi-minute stall class on tunneled chips.
+    source_path: Optional[str] = None
 
     def __len__(self) -> int:
         return int(self.keys.shape[0])
@@ -131,8 +137,10 @@ def load_data(path: str, key_type: Optional[KeyType] = None,
         raise ValueError(
             f"{path}: header says {count} items but file holds {raw.shape[0]}"
         )
-    return RMIDataset.from_numpy(raw.astype(key_type.np_dtype), key_type,
-                                 device=device)
+    ds = RMIDataset.from_numpy(raw.astype(key_type.np_dtype), key_type,
+                               device=device)
+    ds.source_path = os.path.abspath(path)
+    return ds
 
 
 def write_sosd_file(path: str, arr: np.ndarray) -> None:

@@ -42,18 +42,27 @@ class HostMeasurement:
 
     def __init__(self, data, configs: Sequence[Tuple[str, int]],
                  timeout_s: int):
-        import numpy as np
-
-        from rmi_tpu.data import write_sosd_file
-
         self.configs = list(configs)
         self.timeout_s = timeout_s
-        # KeyType.value is the filename token from_filename dispatches
-        # on (src/main.rs:122-132): uint32 / uint64 / f64
-        fd, self.path = tempfile.mkstemp(suffix=f"_{data.key_type.value}",
-                                         prefix="rmi_host_")
-        os.close(fd)
-        write_sosd_file(self.path, np.asarray(data.keys))
+        src = getattr(data, "source_path", None)
+        if src is not None and os.path.exists(src):
+            # data came from an SOSD file: reopen it from disk — a
+            # full-array device->host fetch through the tunnel is a
+            # multi-minute stall class at 200M
+            self.path = src
+            self._owns_path = False
+        else:
+            import numpy as np
+
+            from rmi_tpu.data import write_sosd_file
+
+            # KeyType.value is the filename token from_filename
+            # dispatches on (src/main.rs:122-132): uint32/uint64/f64
+            fd, self.path = tempfile.mkstemp(
+                suffix=f"_{data.key_type.value}", prefix="rmi_host_")
+            os.close(fd)
+            write_sosd_file(self.path, np.asarray(data.keys))
+            self._owns_path = True
         spec = json.dumps([[m, int(b)] for m, b in self.configs])
         env = dict(os.environ)
         # belt (config.py honors RMI_FORCE_CPU at import) and braces
@@ -62,7 +71,9 @@ class HostMeasurement:
         env["JAX_PLATFORMS"] = "cpu"
         # stdout+stderr stream to a file (not a pipe) so multi-hour
         # measurements are tail-able and can't block on pipe buffers
-        self.out_path = self.path + ".log"
+        fd, self.out_path = tempfile.mkstemp(suffix=".log",
+                                             prefix="rmi_host_")
+        os.close(fd)
         self._out = open(self.out_path, "w")
         self.proc = subprocess.Popen(
             [sys.executable, "-m", "rmi_tpu.host_measure",
@@ -79,7 +90,8 @@ class HostMeasurement:
             self.proc.wait()
         finally:
             self._out.close()
-            os.unlink(self.path)
+            if self._owns_path:
+                os.unlink(self.path)
         with open(self.out_path) as f:
             out = f.read()
         rows = [json.loads(ln[len("RESULT "):])

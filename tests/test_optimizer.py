@@ -334,3 +334,21 @@ def test_measure_host_rows(rng):
     for r in rows:
         assert np.isfinite(r["avg_log2"])
         assert r["avg_log2"] >= 0.0
+
+
+def test_measure_host_reuses_source_file(tmp_path, rng):
+    """Datasets loaded from an SOSD file must be reopened from disk by
+    the host subprocess (no device->host key fetch — a stall class at
+    200M over the tunnel), and the source file must survive."""
+    from rmi_tpu.data import load_data, write_sosd_file
+    from rmi_tpu import host_measure
+    keys = np.sort(rng.integers(0, 2**40, size=3000, dtype=np.uint64))
+    p = str(tmp_path / "probe_uint64")
+    write_sosd_file(p, keys)
+    ds = load_data(p)
+    assert ds.source_path == p
+    hm = host_measure.launch_measure_host(ds, [("linear,linear", 64)])
+    assert hm.path == p and not hm._owns_path
+    rows = hm.wait()
+    assert rows[0]["branching_factor"] == 64
+    assert (tmp_path / "probe_uint64").exists()
