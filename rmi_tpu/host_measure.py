@@ -113,14 +113,55 @@ def _default_timeout(n_configs: int) -> int:
     return 1800 + 1800 * n_configs
 
 
+def _default_procs(n_configs: int) -> int:
+    """Subprocess fan-out: the host analogue of the reference's rayon
+    pool over configs (optimizer.rs:224).  Each 200M build's working
+    set is ~15-25GB, so the count is bounded by RAM as well as cores;
+    on this box (1 core) it is 1.  RMI_HOST_MEASURE_PROCS overrides.
+    """
+    env = os.environ.get("RMI_HOST_MEASURE_PROCS")
+    if env is not None:
+        return max(1, int(env))
+    return max(1, min(4, (os.cpu_count() or 1) // 2, n_configs))
+
+
+class MultiHostMeasurement:
+    """Round-robin partition of configs over several HostMeasurement
+    subprocesses; ``wait()`` merges rows back into config order."""
+
+    def __init__(self, data, configs, timeout_s, procs):
+        self.configs = list(configs)
+        parts = [self.configs[i::procs] for i in range(procs)]
+        self.parts = [p for p in parts if p]
+        self.handles = [HostMeasurement(data, p, timeout_s)
+                        for p in self.parts]
+
+    def wait(self) -> List[dict]:
+        by_cfg = {}
+        errors = []
+        for part, h in zip(self.parts, self.handles):
+            try:
+                for cfg, row in zip(part, h.wait()):
+                    by_cfg[cfg] = row
+            except RuntimeError as e:   # join every subprocess first
+                errors.append(str(e))
+        if errors:
+            raise RuntimeError("; ".join(errors))
+        return [by_cfg[c] for c in self.configs]
+
+
 def launch_measure_host(data, configs: Sequence[Tuple[str, int]],
-                        timeout_s: int = None) -> HostMeasurement:
-    """Start measuring ``configs`` on the host CPU backend in a fresh
-    subprocess, WITHOUT blocking — the caller overlaps on-chip grid
-    measurement and joins with ``.wait()``."""
+                        timeout_s: int = None):
+    """Start measuring ``configs`` on the host CPU backend WITHOUT
+    blocking — the caller overlaps on-chip grid measurement and joins
+    with ``.wait()``.  Configs fan out over parallel subprocesses when
+    the host has cores to spare (_default_procs)."""
     if timeout_s is None:
         timeout_s = _default_timeout(len(configs))
-    return HostMeasurement(data, configs, timeout_s)
+    procs = _default_procs(len(configs))
+    if procs == 1:
+        return HostMeasurement(data, configs, timeout_s)
+    return MultiHostMeasurement(data, configs, timeout_s, procs)
 
 
 def measure_host(data, configs: Sequence[Tuple[str, int]],

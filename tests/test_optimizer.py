@@ -352,3 +352,24 @@ def test_measure_host_reuses_source_file(tmp_path, rng):
     rows = hm.wait()
     assert rows[0]["branching_factor"] == 64
     assert (tmp_path / "probe_uint64").exists()
+
+
+def test_measure_host_parallel_procs(monkeypatch, rng):
+    """RMI_HOST_MEASURE_PROCS=2 fans configs over two subprocesses
+    (the host analogue of the reference's rayon pool over configs,
+    optimizer.rs:224); rows must merge back in config order."""
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu import host_measure
+    monkeypatch.setenv("RMI_HOST_MEASURE_PROCS", "2")
+    keys = np.sort(rng.integers(0, 2**40, size=3000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    cfgs = [("linear,linear", 64), ("cubic,linear", 128),
+            ("linear,linear", 256)]
+    hm = host_measure.launch_measure_host(ds, cfgs)
+    assert isinstance(hm, host_measure.MultiHostMeasurement)
+    assert len(hm.handles) == 2
+    rows = hm.wait()
+    assert [(r["models"], r["branching_factor"]) for r in rows] == cfgs
+    seq = host_measure.measure_host(ds, [cfgs[0]])  # procs clamps to 1
+    np.testing.assert_allclose(rows[0]["avg_log2"], seq[0]["avg_log2"],
+                               rtol=1e-12)
