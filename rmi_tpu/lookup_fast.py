@@ -862,7 +862,20 @@ def _sort_with_order(q):
 
 @jax.jit
 def _unsort_i32(order, vals):
-    return jax.lax.sort_key_val(order, vals)[1]
+    """Inverse-permute ``vals`` (non-negative i32) back to input order.
+
+    Packs (order, val) into one u64 and runs a SINGLE-operand sort
+    instead of the variadic sort_key_val: one 64-bit lane stream
+    instead of two 32-bit ones (8.6ms vs 11.9ms standalone on 4M
+    elements; end-to-end the chained pipeline overlaps the unsort
+    with the next batch's sort, so the measured e2e gain is small —
+    49.9 vs 50.3 ms/batch at 200M/4M, probe_sort_pipeline
+    2026-08-20).  Exact: ``order`` is a permutation (distinct keys),
+    both halves are non-negative i32, so unpacking the sorted array
+    reproduces sort_key_val's output bit-for-bit."""
+    packed = ((order.astype(jnp.uint64) << jnp.uint64(32))
+              | vals.astype(jnp.uint32).astype(jnp.uint64))
+    return jax.lax.sort(packed).astype(jnp.uint32).astype(jnp.int32)
 
 
 def fast_search_via_sort(rmi, queries):
