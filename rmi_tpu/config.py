@@ -37,9 +37,34 @@ os.environ.setdefault("JAX_TRACEBACK_FILTERING", "auto")
 # minutes to compile (remote compiler on tunneled TPUs, emulated-f64
 # expansion); caching across processes amortizes that to one-time.
 # Disable with RMI_NO_COMPILE_CACHE=1.
+def _cpu_fingerprint():
+    """Host CPU feature fingerprint (see tests/conftest.py, where this
+    is duplicated for bootstrap-order reasons): persistent XLA:CPU AOT
+    entries from a pre-migration host's wider ISA abort the process
+    when loaded, so CPU-backend runs get a cache scoped to the host's
+    feature set."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
 if not os.environ.get("RMI_NO_COMPILE_CACHE"):
-    _default_cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if (os.environ.get("RMI_FORCE_CPU") == "1"
+            or os.environ.get("JAX_PLATFORMS", "").startswith("cpu")):
+        # CPU-pinned process: host-scoped cache (TPU programs compile
+        # remotely and are host-independent; XLA:CPU AOT results are not)
+        _default_cache = os.path.join(
+            _repo_root, f".jax_cache_cpu_{_cpu_fingerprint()}")
+    else:
+        _default_cache = os.path.join(_repo_root, ".jax_cache")
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", _default_cache))

@@ -29,9 +29,33 @@ if not _use_tpu:
 # Persistent compilation cache: the suite is XLA-compile-bound (every
 # (model pair, branching factor) is a fresh executable); caching across
 # runs turns repeat suites from hours into minutes on small hosts.
+
+
+def _cpu_fingerprint():
+    """Host CPU feature fingerprint.  VMs resurface on different
+    physical hosts after migration; persistent XLA:CPU AOT entries
+    compiled for the old host's wider ISA ABORT the process when
+    loaded on a narrower one (observed 2026-08-20: SIGABRT in
+    grid_measure_rmis loading avx512/amx-era cache entries).  Scoping
+    the CPU cache dir by the feature set makes a migrated host start
+    a fresh cache instead of crashing.  (Duplicated in
+    rmi_tpu/config.py for the RMI_FORCE_CPU path — this file must not
+    import the package before jax config is settled.)"""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/rmi_tpu_jax_cache"))
+                                 f"/tmp/rmi_tpu_jax_cache_{_cpu_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
