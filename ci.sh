@@ -8,7 +8,16 @@ cd "$(dirname "$0")"
 make -C native
 # fail fast: the ~3-min bound-contract core before the full suite
 python -m pytest tests/ -q -m quick
-python -m pytest tests/ -q -m "not quick"
+# Full tier: one pytest process PER MODULE.  A single long process
+# accumulating every module's live XLA:CPU executables segfaulted
+# inside the compiler's cache serialization on a 1-core host
+# (2026-08-20, put_executable_and_time) — the same tests pass in
+# isolated processes, so CI bounds per-process state instead of
+# betting on compiler internals under memory pressure.
+for f in tests/test_*.py; do
+    # exit 5 = module has only quick tests (already run above)
+    python -m pytest "$f" -q -m "not quick" || [ $? -eq 5 ]
+done
 RMI_BENCH_N=200000 RMI_BENCH_QUERIES=65536 RMI_BENCH_ITERS=3 \
     JAX_PLATFORMS=cpu python bench.py
 echo "CI OK"
