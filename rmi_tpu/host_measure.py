@@ -11,12 +11,16 @@ fails the same tiers at the remote-compile step.  The reference has no
 such wall because it streams from mmap and keeps only b-scale model
 state in RAM (two_layer.rs:20-99).
 
-So giant-tier grid points degrade to THIS module: a fresh subprocess
-pinned to the CPU backend trains the point in host RAM (125GB here)
-with the exact XLA-f64 monolith the grid uses, and reports the same
-optimizer metrics.  The parent writes the key array to a temp SOSD
-file once and fans the configs into one subprocess (sequential inside:
-the host is single-core and each build's working set is ~14GB+).
+So giant-tier grid points degrade to THIS module: fresh subprocesses
+pinned to the CPU backend train the points in host RAM (125GB here)
+with the exact XLA-f64 monolith the grid uses, and report the same
+optimizer metrics.  Data reaches the subprocess by path: the original
+SOSD file when the dataset has one (RMIDataset.source_path), else one
+temp SOSD copy per subprocess.  Configs fan out over parallel
+subprocesses when the host has cores (_default_procs /
+RMI_HOST_MEASURE_PROCS — the analogue of the reference's rayon pool
+over configs, optimizer.rs:224); on this single-core box that is one
+sequential subprocess.
 
 The subprocess must flip the backend BEFORE first device use — the
 container's sitecustomize force-registers the tunneled TPU, so env
