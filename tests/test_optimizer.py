@@ -373,3 +373,15 @@ def test_measure_host_parallel_procs(monkeypatch, rng):
     seq = host_measure.measure_host(ds, [cfgs[0]])  # procs clamps to 1
     np.testing.assert_allclose(rows[0]["avg_log2"], seq[0]["avg_log2"],
                                rtol=1e-12)
+
+
+def test_measure_host_failure_raises(rng):
+    """A config the subprocess cannot train must surface as a
+    RuntimeError carrying the subprocess's log tail — not hang or
+    return a short row list."""
+    from rmi_tpu.data import RMIDataset
+    from rmi_tpu.host_measure import measure_host
+    keys = np.sort(rng.integers(0, 2**40, size=1000, dtype=np.uint64))
+    ds = RMIDataset.from_numpy(keys)
+    with pytest.raises(RuntimeError, match=r"returned 0/1 rows"):
+        measure_host(ds, [("bogus_model,linear", 64)])
